@@ -1,0 +1,102 @@
+"""MV-guided temporal alignment (active CVSR_V8 path — no deformable conv).
+
+``DualAttAlignment`` (`/root/reference/arch/SIDECVSR_our.py:3427-3496`):
+flow-warp the neighbour features by the motion-vector field, fuse with the
+unfiltered-prediction features, then two cross-MSAs (q = center frame,
+k = fused, v = channel-gated warped / pred features) sharing the same
+conv_du gate, temperature, and projection; aggregate with the *same*
+``fusion_out`` conv used for the warp fusion (weight sharing is intentional
+in the reference and reproduced here), then CALayer + 2 residual blocks.
+
+The wo-Pd / wo-MV ablation variants (`:3502-3651`) drop one branch each.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+from flax import linen as nn
+
+from .attention import _l2_normalize
+from .layers import CALayer, Conv2d, ResidualBlockNoBN
+from ..ops.warp import flow_warp
+
+Dtype = Any
+
+
+class _GateMSA(nn.Module):
+    """Shared pieces of the two cross-MSAs: conv_du channel gate on v,
+    L2-normalised q/k channel attention with learnable temperature."""
+
+    dim: int = 64
+    num_heads: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in):
+        b, h, w, c = q_in.shape
+        temperature = self.param("temperature", nn.initializers.ones,
+                                 (self.num_heads, 1, 1))
+        gate = jnp.mean(v_in, axis=(1, 2), keepdims=True)
+        gate = Conv2d(self.dim // 16, 1, 1, 0, dtype=self.dtype, name="conv_du_0")(gate)
+        gate = jax.nn.relu(gate)
+        gate = Conv2d(self.dim, 1, 1, 0, dtype=self.dtype, name="conv_du_2")(gate)
+        gate = jax.nn.sigmoid(gate)
+        v_in = v_in * gate
+
+        def to_heads(t):
+            return rearrange(t, "b h w (head c) -> b head c (h w)",
+                             head=self.num_heads)
+
+        q = _l2_normalize(to_heads(q_in).astype(jnp.float32))
+        k = _l2_normalize(to_heads(k_in).astype(jnp.float32))
+        v = to_heads(v_in)
+        attn = jnp.einsum("bncx,bndx->bncd", q, k) * temperature
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bncd,bndx->bncx", attn, v)
+        out = rearrange(out, "b head c (h w) -> b h w (head c)", h=h, w=w)
+        return Conv2d(self.dim, 1, 1, 0, use_bias=False, dtype=self.dtype,
+                      name="project_out")(out)
+
+
+class DualAttAlignment(nn.Module):
+    """forward(x=center feat, extra_feat=neighbour feat, pred_feat, flow).
+
+    flow: (B, H, W, 2) pixel-unit (dx, dy).
+    """
+
+    dim: int = 64
+    num_heads: int = 4
+    use_mv: bool = True     # False => wo-MV ablation (no warp branch)
+    use_pd: bool = True     # False => wo-Pd ablation (no pred branch)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, extra_feat, pred_feat, flow):
+        fusion_out_0 = Conv2d(self.dim, 1, 1, 0, use_bias=False,
+                              dtype=self.dtype, name="fusion_out_0")
+        msa = _GateMSA(self.dim, self.num_heads, dtype=self.dtype, name="msa")
+
+        if self.use_mv:
+            warped_feat = flow_warp(extra_feat, flow)
+        else:
+            warped_feat = extra_feat
+        if self.use_pd:
+            fused_feat = jax.nn.relu(fusion_out_0(
+                jnp.concatenate([warped_feat, pred_feat], axis=-1)))
+        else:
+            fused_feat = warped_feat
+
+        out_1 = msa(x, fused_feat, warped_feat)
+        if self.use_pd:
+            out_2 = msa(x, fused_feat, pred_feat)
+            out = out_1 + out_2
+        else:
+            out = out_1
+        out = jax.nn.relu(fusion_out_0(jnp.concatenate([out, x], axis=-1)))
+        out = CALayer(self.dim, dtype=self.dtype, name="CALayer")(out)
+        out = ResidualBlockNoBN(self.dim, dtype=self.dtype, name="ResidualBlock")(out)
+        out = ResidualBlockNoBN(self.dim, dtype=self.dtype, name="ResidualBlock1")(out)
+        return out + x

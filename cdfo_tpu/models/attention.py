@@ -1,0 +1,191 @@
+"""Attention modules for the CVSR family (NHWC, TPU-first).
+
+* ``MDTA``: Restormer-style multi-head transposed (channel) self-attention
+  (`/root/reference/arch/SIDECVSR_our.py:1545-1576`). Channel attention is
+  O(C^2·HW) — cheap on MXU even at 1080p-input scale.
+* ``GFeedForward``: gated depthwise FFN (`:1522-1541`).
+* ``EGLA`` (LLongRangAttention): residual-prior-guided long-range (sparse
+  row/column 1-D attention) + inverse-masked 8x8 window attention
+  (`:2141-2249`). The residual mask is a gumbel-softmax over channels of a
+  spatially-constant squeeze vector, sampled per-pixel, hard-thresholded at
+  0.5 (`:2168-2195`); sampling is threaded through a flax 'gumbel' RNG
+  collection, with a deterministic expectation mode for reproducible eval.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+from flax import linen as nn
+
+from .layers import Conv2d
+from ..ops.resize import interpolate_bilinear
+
+Dtype = Any
+
+
+def _l2_normalize(x, axis=-1, eps=1e-12):
+    """torch F.normalize: x / max(||x||_2, eps)."""
+    n = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    return x / jnp.maximum(n, eps)
+
+
+class MDTA(nn.Module):
+    """Multi-DConv-Head Transposed Attention over channels."""
+
+    dim: int
+    num_heads: int = 8
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        temperature = self.param(
+            "temperature", nn.initializers.ones, (self.num_heads, 1, 1)
+        )
+        qkv = Conv2d(self.dim * 3, 1, 1, 0, use_bias=self.use_bias,
+                     dtype=self.dtype, name="qkv")(x)
+        qkv = Conv2d(self.dim * 3, 3, 1, 1, groups=self.dim * 3,
+                     use_bias=self.use_bias, dtype=self.dtype,
+                     name="qkv_dwconv")(qkv)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def to_heads(t):  # channel index = head*ch + cc, identical to torch
+            return rearrange(t, "b h w (head c) -> b head c (h w)",
+                             head=self.num_heads)
+
+        q, k, v = to_heads(q), to_heads(k), to_heads(v)
+        q = _l2_normalize(q.astype(jnp.float32))
+        k = _l2_normalize(k.astype(jnp.float32))
+        attn = jnp.einsum("bncx,bndx->bncd", q, k) * temperature
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bncd,bndx->bncx", attn.astype(v.dtype), v)
+        out = rearrange(out, "b head c (h w) -> b h w (head c)", h=h, w=w)
+        return Conv2d(self.dim, 1, 1, 0, use_bias=self.use_bias,
+                      dtype=self.dtype, name="project_out")(out)
+
+
+class GFeedForward(nn.Module):
+    """Gated-DConv feed-forward (Restormer GDFN)."""
+
+    dim: int
+    ffn_expansion_factor: float = 2.66
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.dim * self.ffn_expansion_factor)
+        x = Conv2d(hidden * 2, 1, 1, 0, use_bias=self.use_bias,
+                   dtype=self.dtype, name="project_in")(x)
+        x = Conv2d(hidden * 2, 3, 1, 1, groups=hidden * 2,
+                   use_bias=self.use_bias, dtype=self.dtype, name="dwconv")(x)
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        x = jax.nn.gelu(x1, approximate=False) * x2
+        return Conv2d(self.dim, 1, 1, 0, use_bias=self.use_bias,
+                      dtype=self.dtype, name="project_out")(x)
+
+
+def _conv_1x9_along_c(x, kernel, bias):
+    """Reference directW1/H1_conv: a (1,9) single-channel conv applied to a
+    (tokens, positions, C) tensor — i.e. a 9-tap conv *along the channel
+    axis* with zero padding (`arch/SIDECVSR_our.py:2161-2162,2216-2225`).
+
+    x: (B, T, C). kernel: (9,). Returns same shape.
+    """
+    xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4)))
+    out = jnp.zeros_like(x)
+    for i in range(9):
+        out = out + kernel[i] * jax.lax.dynamic_slice_in_dim(xp, i, x.shape[-1], axis=2)
+    return out + bias
+
+
+class EGLA(nn.Module):
+    """LLongRangAttention: edge/residual-guided long + local attention.
+
+    forward(res_prior, x) -> attended features + x (residual add).
+    ``mask_mode``: 'sample' draws per-pixel gumbel noise from the 'gumbel'
+    RNG collection (reference semantics, stochastic even at eval —
+    `arch/SIDECVSR_our.py:2168-2177`); 'expected' uses the noise-free
+    softmax (deterministic eval).
+    """
+
+    in_dim: int = 64
+    window_size: int = 8
+    mask_mode: str = "sample"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, res, x):
+        b, h, w, c = x.shape
+        assert c == self.in_dim
+        # --- residual mask generator -------------------------------------
+        v = Conv2d(self.in_dim, 1, 1, 0, dtype=self.dtype, name="conv_du_re_0")(res)
+        v = jax.nn.relu(v)
+        v = Conv2d(self.in_dim, 3, 2, 2, dtype=self.dtype, name="conv_du_re_2")(v)
+        v = jax.nn.relu(v)
+        v = jnp.mean(v, axis=(1, 2), keepdims=True)  # GAP -> (B,1,1,C)
+        v = Conv2d(self.in_dim, 1, 1, 0, dtype=self.dtype, name="conv_du_re2_0")(v)
+        v = jax.nn.relu(v)
+        # bilinear 1x1 -> (h,w) is a constant broadcast; then per-pixel gumbel
+        v = jnp.broadcast_to(v, (b, h, w, c)).astype(jnp.float32)
+        if self.mask_mode == "sample":
+            u = jax.random.uniform(
+                self.make_rng("gumbel"), (b, h, w, c),
+                minval=jnp.finfo(jnp.float32).tiny, maxval=1.0)
+            g = -jnp.log(-jnp.log(u))
+            rm = jax.nn.softmax(v + g, axis=-1)
+        elif self.mask_mode == "expected":
+            rm = jax.nn.softmax(v, axis=-1)
+        else:
+            raise ValueError(self.mask_mode)
+        # hard threshold; zero-grad in reference too (masked_fill)
+        res_mask = jax.lax.stop_gradient((rm >= 0.5).astype(jnp.float32))
+        res_mask = res_mask.astype(x.dtype)
+        res_mask_inv = 1.0 - res_mask
+
+        # --- q/v projection ----------------------------------------------
+        x_ = Conv2d(self.in_dim * 2, 1, 1, 0, dtype=self.dtype, name="input_conv")(x)
+        q_full, v_full = jnp.split(x_, 2, axis=-1)
+
+        w1_k = self.param("directW1_kernel", nn.initializers.normal(0.1), (9,))
+        w1_b = self.param("directW1_bias", nn.initializers.zeros, ())
+        h1_k = self.param("directH1_kernel", nn.initializers.normal(0.1), (9,))
+        h1_b = self.param("directH1_bias", nn.initializers.zeros, ())
+
+        # --- long-range: row then column 1-D attention ---------------------
+        # rows: tokens = (b h), positions = w
+        q_r = rearrange(res_mask * q_full, "b h w c -> (b h) w c")
+        v_r = rearrange(v_full, "b h w c -> (b h) w c")
+        sparse_q = _conv_1x9_along_c(q_r, w1_k, w1_b)
+        v_r = _conv_1x9_along_c(v_r, w1_k, w1_b)
+        atn = jnp.einsum("twc,tvc->twv", sparse_q, sparse_q)
+        atn = jax.nn.softmax(atn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        v_r = jnp.einsum("twv,tvc->twc", atn, v_r)
+        # columns: tokens = (b w), positions = h
+        q_c = rearrange(sparse_q, "(b h) w c -> (b w) h c", b=b)
+        q_c = _conv_1x9_along_c(q_c, h1_k, h1_b)
+        v_c = rearrange(v_r, "(b h) w c -> (b w) h c", b=b)
+        atn = jnp.einsum("thc,tgc->thg", q_c, q_c)
+        atn = jax.nn.softmax(atn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        long_out = jnp.einsum("thg,tgc->thc", atn, v_c)
+        long_out = rearrange(long_out, "(b w) h c -> b h w c", b=b)
+
+        # --- local: inverse-masked window attention ------------------------
+        ws = self.window_size
+        q_w = rearrange(q_full, "b (h dh) (w dw) c -> (b h w) (dh dw) c", dh=ws, dw=ws)
+        v_w = rearrange(v_full, "b (h dh) (w dw) c -> (b h w) (dh dw) c", dh=ws, dw=ws)
+        m_w = rearrange(res_mask_inv, "b (h dh) (w dw) c -> (b h w) (dh dw) c", dh=ws, dw=ws)
+        sparse_qw = m_w * q_w
+        atn = jnp.einsum("tpc,tqc->tpq", sparse_qw, sparse_qw)
+        atn = jax.nn.softmax(atn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        loc_out = jnp.einsum("tpq,tqc->tpc", atn, v_w)
+        loc_out = rearrange(loc_out, "(b h w) (dh dw) c -> b (h dh) (w dw) c",
+                            h=h // ws, w=w // ws, dh=ws, dw=ws)
+
+        out = Conv2d(self.in_dim, 1, 1, 0, dtype=self.dtype, name="fuse")(
+            jnp.concatenate([long_out, loc_out], axis=-1))
+        return out + x

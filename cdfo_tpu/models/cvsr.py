@@ -1,0 +1,167 @@
+"""CVSR_V8 — the flagship coding-prior-guided video-SR model, TPU-native.
+
+Re-designed from the reference forward (`/root/reference/arch/
+SIDECVSR_our.py:4371-4481`) with the same math but an XLA-friendly shape
+discipline:
+
+* NHWC everywhere; the 7-frame axis folds into batch for the shared-weight
+  stages (feature extraction) and the 6 neighbours fold into batch for the
+  per-neighbour EGLA+alignment loop (the reference runs a sequential Python
+  loop over neighbours — here one batched call feeds the MXU 6x the work).
+* The recurrent L1-feature cache for streaming inference (`:4416-4427`)
+  is a pure function-level carry: pass ``pre_l1`` and only the newest frame
+  is embedded.
+* The unconditional featuremap dumps (`:4450` etc., broken paths) become
+  optional ``sow('intermediates', ...)`` captures behind a flag.
+
+Inputs (channels-last):
+  lrs  (B, N, H, W, 1)  decoded LR Y frames, [0,1]
+  mvs0 (B, N, H, W, 2)  expanded L0 flows (kept for API parity; V8 uses L1
+                        only, as the reference does — `:4445`)
+  mvs1 (B, N, H, W, 2)  expanded L1 flows, pixel units (dx, dy)
+  pms  (B, N, H, W, 1)  partition maps, [0,1]
+  rms  (B, N, H, W, 1)  residual maps, [0,1]
+  ufs  (B, N, H, W, 1)  unfiltered prediction frames, [0,1]
+  pre_l1 (B, N, H, W, nf) optional recurrent feature cache
+
+Returns (sr (B, 4H, 4W, 1), l1_fea (B, N, H, W, nf)).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import ModelConfig
+from ..ops.resize import interpolate_bilinear, pixel_shuffle
+from .alignment import DualAttAlignment
+from .attention import EGLA
+from .layers import Conv2d, lrelu
+from .prior_encoder import PartitionTransformerSA2, PartitionTransformerSAWoPAB
+from .trunk import SCNetS
+
+
+class CVSRV8(nn.Module):
+    cfg: ModelConfig = ModelConfig()
+    capture_features: bool = False
+
+    def setup(self):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        self.conv_first = Conv2d(cfg.nf, 3, 1, 1, dtype=dt, name="conv_first")
+        self.conv_second = Conv2d(cfg.nf, 3, 1, 1, dtype=dt, name="conv_second")
+        if cfg.use_pab:
+            self.transformer_feature_extraction = PartitionTransformerSA2(
+                cfg.nf, cfg.mdta_heads, dtype=dt,
+                name="transformer_feature_extraction")
+        else:
+            self.transformer_feature_extraction = PartitionTransformerSAWoPAB(
+                cfg.nf, cfg.mdta_heads, dtype=dt,
+                name="transformer_feature_extraction")
+        self.conv_expand_fea_r = Conv2d(cfg.nf, 3, 1, 1, dtype=dt,
+                                        name="conv_expand_fea_r")
+        self.conv_expand_ufs = Conv2d(cfg.nf, 3, 1, 1, dtype=dt,
+                                      name="conv_expand_ufs")
+        self.conv_expand_rms = Conv2d(cfg.nf, 3, 1, 1, dtype=dt,
+                                      name="conv_expand_rms")
+        self.tsa_fusion = Conv2d(cfg.nf, 1, 1, 0, dtype=dt, name="tsa_fusion")
+        self.recon_trunk = SCNetS(cfg.nf, cfg.scn_groups, dtype=dt,
+                                  name="recon_trunk")
+        self.upconv1 = Conv2d(cfg.nf * 4, 1, 1, 0, dtype=dt, name="upconv1")
+        self.upconv2 = Conv2d(cfg.nf * 4, 1, 1, 0, dtype=dt, name="upconv2")
+        self.conv_last = Conv2d(1, 3, 1, 1, dtype=dt, name="conv_last")
+        self.mv_deform_align = DualAttAlignment(
+            cfg.nf, cfg.align_heads, use_mv=cfg.use_mv, use_pd=cfg.use_pd,
+            dtype=dt, name="MV_deform_align")
+        if cfg.use_egla:
+            self.rdab = EGLA(cfg.nf, mask_mode=cfg.mask_mode, dtype=dt,
+                             name="RDAB")
+
+    def embed(self, frames, pms):
+        """Shared-weight feature extraction for a stack of frames.
+
+        frames, pms: (M, H, W, 1) -> (M, H, W, nf)
+        """
+        l1 = lrelu(self.conv_first(frames))
+        if self.cfg.use_pab:
+            sides = self.conv_second(pms)
+            return self.transformer_feature_extraction(l1, sides)
+        return self.transformer_feature_extraction(l1)
+
+    def __call__(self, lrs, mvs0, mvs1, pms, rms, ufs,
+                 pre_l1: Optional[jnp.ndarray] = None):
+        cfg = self.cfg
+        b, n, h, w, _ = lrs.shape
+        center = cfg.center
+        dt = cfg.compute_dtype
+        lrs = lrs.astype(dt)
+        pms = pms.astype(dt)
+        rms = rms.astype(dt)
+        ufs = ufs.astype(dt)
+
+        # 1. GCPI feature extraction (with recurrent cache for streaming)
+        if pre_l1 is None:
+            l1_fea = self.embed(lrs.reshape(b * n, h, w, 1),
+                                pms.reshape(b * n, h, w, 1))
+            l1_fea = l1_fea.reshape(b, n, h, w, cfg.nf)
+        else:
+            new_fea = self.embed(lrs[:, -1], pms[:, -1])
+            l1_fea = jnp.concatenate(
+                [pre_l1.astype(dt)[:, 1:], new_fea[:, None]], axis=1)
+
+        center_fea = l1_fea[:, center]
+
+        # 2. MV-GSA: per-neighbour spatial compensation + alignment,
+        #    neighbours folded into batch (shared weights)
+        nbr_idx = [i for i in range(n) if i != center]
+        nbr_fea = l1_fea[:, nbr_idx].reshape(b * (n - 1), h, w, cfg.nf)
+        nbr_rms = rms[:, nbr_idx].reshape(b * (n - 1), h, w, 1)
+        nbr_ufs = ufs[:, nbr_idx].reshape(b * (n - 1), h, w, 1)
+        nbr_mv = mvs1.astype(dt)[:, nbr_idx].reshape(b * (n - 1), h, w, 2)
+
+        ufs_prior = self.conv_expand_ufs(nbr_ufs)
+        rms_prior = self.conv_expand_rms(nbr_rms)
+        if cfg.use_egla:
+            fea_com = nbr_fea + rms_prior
+            x_n = self.rdab(rms_prior, fea_com)
+        else:
+            x_n = nbr_fea + rms_prior
+        fea_i = self.conv_expand_fea_r(jnp.concatenate([nbr_fea, x_n], axis=-1))
+
+        center_rep = jnp.broadcast_to(
+            center_fea[:, None], (b, n - 1, h, w, cfg.nf)
+        ).reshape(b * (n - 1), h, w, cfg.nf)
+        aligned = self.mv_deform_align(center_rep, fea_i, ufs_prior, nbr_mv)
+        aligned = aligned.reshape(b, n - 1, h, w, cfg.nf)
+
+        # re-interleave with the center frame in temporal order
+        parts = []
+        for j, i in enumerate(range(n)):
+            if i == center:
+                parts.append(center_fea[:, None])
+            else:
+                k = nbr_idx.index(i)
+                parts.append(aligned[:, k][:, None])
+        aligned_fea = jnp.concatenate(parts, axis=1)  # (B, N, H, W, nf)
+        if self.capture_features:
+            self.sow("intermediates", "aligned_fea", aligned_fea)
+
+        # 3. ATFM fusion: frame-ordered channel concat -> 1x1 conv
+        fused = aligned_fea.transpose(0, 2, 3, 1, 4).reshape(b, h, w, n * cfg.nf)
+        fused = lrelu(self.tsa_fusion(fused))
+
+        # 4. CSSR trunk + upsample head
+        out = self.recon_trunk(fused)
+        out = lrelu(pixel_shuffle(self.upconv1(out), 2))
+        out = lrelu(pixel_shuffle(self.upconv2(out), 2))
+        out = self.conv_last(out)
+
+        base = interpolate_bilinear(lrs[:, center], scale_factor=float(cfg.scale))
+        sr = out + base
+        return sr.astype(jnp.float32), l1_fea
+
+
+def make_model(cfg: ModelConfig | None = None, **kw) -> CVSRV8:
+    return CVSRV8(cfg or ModelConfig(), **kw)

@@ -1,0 +1,125 @@
+"""Coding-prior (partition-map) feature extraction — the "GCPI" stage.
+
+* ``SideToFeaUDSA2``: stride-2 U-shaped side-info encoder with a spatial
+  attention bottleneck (`/root/reference/arch/SIDECVSR_our.py:1815-1875`);
+  plus the simpler family members used by other variants (`:1696-1809`).
+* ``PartitionTransformerSA2``: three rounds of {side-branch injection, MDTA
+  self-attention, 3x3 conv} with a *shared* side encoder and shared
+  attn/norm/conv weights across rounds (`:1441-1475` — the same submodules
+  are reused, which we reproduce by calling the same bound module 3x).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .attention import MDTA
+from .layers import Conv2d, ConvTranspose2d, SpatialAttention, lrelu
+from .norms import ChannelLayerNorm
+
+Dtype = Any
+
+
+class SideToFeaUDSA2(nn.Module):
+    """conv s1 -> conv s2p2 -> conv s2p2 -> SpatialAttention ->
+    convT s2p2 -> convT s2p2(op1) -> conv -> in_f channels, all lrelu(0.1)."""
+
+    in_f: int
+    nf: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, side):
+        x = lrelu(Conv2d(self.nf, 3, 1, 1, dtype=self.dtype, name="body_0")(side))
+        x = lrelu(Conv2d(self.nf, 3, 2, 2, dtype=self.dtype, name="body_2")(x))
+        x = lrelu(Conv2d(self.nf, 3, 2, 2, dtype=self.dtype, name="body_4")(x))
+        x = SpatialAttention(dtype=self.dtype, name="body_6")(x)
+        x = lrelu(ConvTranspose2d(self.nf, 3, 2, 2, 0, dtype=self.dtype, name="body_7")(x))
+        x = lrelu(ConvTranspose2d(self.nf, 3, 2, 2, 1, dtype=self.dtype, name="body_9")(x))
+        x = lrelu(Conv2d(self.in_f, 3, 1, 1, dtype=self.dtype, name="body_11")(x))
+        return x
+
+
+class SideToFeaOne(nn.Module):
+    """Two 3x3 convs + lrelu (`arch/SIDECVSR_our.py:1716-1732`)."""
+
+    nf: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, side):
+        x = lrelu(Conv2d(self.nf, 3, 1, 1, dtype=self.dtype, name="body_0")(side))
+        x = lrelu(Conv2d(self.nf, 3, 1, 1, dtype=self.dtype, name="body_2")(x))
+        return x
+
+
+class SideToFea(nn.Module):
+    """Four 3x3 convs + lrelu, 3-channel input (`arch/SIDECVSR_our.py:1696-1712`)."""
+
+    nf: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, side):
+        x = side
+        for i in range(4):
+            x = lrelu(Conv2d(self.nf, 3, 1, 1, dtype=self.dtype, name=f"body_{2*i}")(x))
+        return x
+
+
+class PartitionTransformerSA2(nn.Module):
+    """Partition-prior-injected MDTA feature extractor (shared weights /round).
+
+    forward(x1=image features, x2=partition features) — three rounds of:
+        x2 = side(x2) + (x1 if round 0 else x2)
+        x1 = x1 + attn(norm1(x1))
+        x1 = x1 + conv(norm2(x1)) + x2
+    """
+
+    dim: int = 64
+    num_heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2):
+        norm1 = ChannelLayerNorm(self.dim, dtype=self.dtype, name="norm1")
+        norm2 = ChannelLayerNorm(self.dim, dtype=self.dtype, name="norm2")
+        attn = MDTA(self.dim, self.num_heads, use_bias=False, dtype=self.dtype,
+                    name="attn")
+        conv = Conv2d(self.dim, 3, 1, 1, dtype=self.dtype, name="conv")
+        side = SideToFeaUDSA2(self.dim, nf=16, dtype=self.dtype,
+                              name="side_to_feaoneUDSA")
+
+        x2 = side(x2) + x1
+        x1 = x1 + attn(norm1(x1))
+        x1 = x1 + conv(norm2(x1)) + x2
+        x2 = side(x2) + x2
+        x1 = x1 + attn(norm1(x1))
+        x1 = x1 + conv(norm2(x1)) + x2
+        x2 = side(x2) + x2
+        x1 = x1 + attn(norm1(x1))
+        x1 = x1 + conv(norm2(x1)) + x2
+        return x1
+
+
+class PartitionTransformerSAWoPAB(nn.Module):
+    """Ablation: no partition branch (`arch/SIDECVSR_our.py:1480-1514`)."""
+
+    dim: int = 64
+    num_heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1):
+        norm1 = ChannelLayerNorm(self.dim, dtype=self.dtype, name="norm1")
+        norm2 = ChannelLayerNorm(self.dim, dtype=self.dtype, name="norm2")
+        attn = MDTA(self.dim, self.num_heads, use_bias=False, dtype=self.dtype,
+                    name="attn")
+        conv = Conv2d(self.dim, 3, 1, 1, dtype=self.dtype, name="conv")
+        for _ in range(3):
+            x1 = x1 + attn(norm1(x1))
+            x1 = x1 + conv(norm2(x1))
+        return x1

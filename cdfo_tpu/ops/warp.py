@@ -1,0 +1,109 @@
+"""Flow warping (bilinear grid sample) in NHWC, TPU-friendly.
+
+Reimplements the semantics the reference pipeline relies on
+(`/root/reference/arch/SIDECVSR_our.py:3068-3099`: meshgrid + pixel-unit flow +
+``F.grid_sample(mode='bilinear', padding_mode='zeros', align_corners=True)``)
+as a pure-JAX gather so XLA can fuse it into the surrounding graph.
+
+With ``align_corners=True`` the normalised grid maps exactly back to pixel
+coordinates, so we skip the normalise/denormalise round-trip entirely and
+sample at ``grid + flow`` directly. Out-of-range taps contribute zero
+(padding_mode='zeros' zeroes each of the four corner taps independently).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather_hw(img: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """Gather pixels from ``img`` (H, W, C) at integer coords (``iy``, ``ix``).
+
+    iy/ix: (H, W) int32, already clipped to valid range.
+    Returns (H, W, C).
+    """
+    h, w, _ = img.shape
+    flat = img.reshape(h * w, -1)
+    idx = iy * w + ix
+    return jnp.take(flat, idx.reshape(-1), axis=0).reshape(*iy.shape, -1)
+
+
+def flow_warp(
+    x: jnp.ndarray,
+    flow: jnp.ndarray,
+    interp_mode: str = "bilinear",
+    padding_mode: str = "zeros",
+) -> jnp.ndarray:
+    """Warp ``x`` by per-pixel ``flow``.
+
+    Args:
+      x: (B, H, W, C) feature map.
+      flow: (B, H, W, 2) pixel-unit flow, last dim ordered (dx, dy) — i.e.
+        ``flow[..., 0]`` moves along W, ``flow[..., 1]`` along H, matching the
+        reference's grid construction (grid_x, grid_y stacking).
+      interp_mode: 'bilinear' or 'nearest'.
+      padding_mode: 'zeros' or 'border'.
+
+    Returns:
+      (B, H, W, C) warped features. Equivalent to the reference ``flow_warp``
+      with align_corners=True.
+    """
+    if x.ndim != 4 or flow.ndim != 4 or flow.shape[-1] != 2:
+        raise ValueError(f"bad shapes x={x.shape} flow={flow.shape}")
+    _, h, w, _ = x.shape
+    orig_dtype = x.dtype
+    fdtype = jnp.promote_types(flow.dtype, jnp.float32)
+
+    grid_x = jax.lax.broadcasted_iota(fdtype, (h, w), 1)
+    grid_y = jax.lax.broadcasted_iota(fdtype, (h, w), 0)
+    sx = grid_x[None] + flow[..., 0].astype(fdtype)
+    sy = grid_y[None] + flow[..., 1].astype(fdtype)
+
+    if interp_mode == "nearest":
+        # torch grid_sample 'nearest' rounds half away from... it uses
+        # nearbyint (round-half-to-even); jnp.round matches.
+        ix = jnp.round(sx).astype(jnp.int32)
+        iy = jnp.round(sy).astype(jnp.int32)
+        if padding_mode == "border":
+            valid = jnp.ones_like(sx, dtype=bool)
+        else:
+            valid = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
+        ixc = jnp.clip(ix, 0, w - 1)
+        iyc = jnp.clip(iy, 0, h - 1)
+        out = jax.vmap(_gather_hw)(x, iyc, ixc)
+        return jnp.where(valid[..., None], out, 0).astype(orig_dtype)
+
+    if interp_mode != "bilinear":
+        raise ValueError(interp_mode)
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx1 = (sx - x0).astype(fdtype)
+    wy1 = (sy - y0).astype(fdtype)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(iy, ix):
+        if padding_mode == "border":
+            mask = None
+        else:
+            mask = ((ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1))
+        iyc = jnp.clip(iy, 0, h - 1)
+        ixc = jnp.clip(ix, 0, w - 1)
+        v = jax.vmap(_gather_hw)(x, iyc, ixc)
+        if mask is not None:
+            v = jnp.where(mask[..., None], v, 0)
+        return v
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+
+    w00 = ((1 - wy1) * (1 - wx1))[..., None]
+    w01 = ((1 - wy1) * wx1)[..., None]
+    w10 = (wy1 * (1 - wx1))[..., None]
+    w11 = (wy1 * wx1)[..., None]
+
+    out = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+    return out.astype(orig_dtype)
