@@ -89,17 +89,23 @@ class GFeedForward(nn.Module):
                       dtype=self.dtype, name="project_out")(x)
 
 
-def _conv_1x9_along_c(x, kernel, bias):
-    """Reference directW1/H1_conv: a (1,9) single-channel conv applied to a
-    (tokens, positions, C) tensor — i.e. a 9-tap conv *along the channel
-    axis* with zero padding (`arch/SIDECVSR_our.py:2161-2162,2216-2225`).
+def _conv9_along(x, kernel, bias, axis):
+    """9-tap single-channel conv along one axis of a (tokens, P, C) tensor,
+    zero padded.
 
-    x: (B, T, C). kernel: (9,). Returns same shape.
+    Reproduces the reference's direct convs (`arch/SIDECVSR_our.py:
+    2161-2162, 2216-2225`): ``directW1_conv`` has kernel (1, 9) over the
+    (w, c) plane — it convolves along the *channel* axis (axis=2) — while
+    ``directH1_conv`` has kernel (9, 1) over the (h, c) plane — it convolves
+    along the *position* axis (axis=1). The asymmetry is the reference's.
     """
-    xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4)))
+    pad = [(0, 0), (0, 0), (0, 0)]
+    pad[axis] = (4, 4)
+    xp = jnp.pad(x, pad)
     out = jnp.zeros_like(x)
     for i in range(9):
-        out = out + kernel[i] * jax.lax.dynamic_slice_in_dim(xp, i, x.shape[-1], axis=2)
+        out = out + kernel[i] * jax.lax.dynamic_slice_in_dim(
+            xp, i, x.shape[axis], axis=axis)
     return out + bias
 
 
@@ -160,14 +166,14 @@ class EGLA(nn.Module):
         # rows: tokens = (b h), positions = w
         q_r = rearrange(res_mask * q_full, "b h w c -> (b h) w c")
         v_r = rearrange(v_full, "b h w c -> (b h) w c")
-        sparse_q = _conv_1x9_along_c(q_r, w1_k, w1_b)
-        v_r = _conv_1x9_along_c(v_r, w1_k, w1_b)
+        sparse_q = _conv9_along(q_r, w1_k, w1_b, axis=2)
+        v_r = _conv9_along(v_r, w1_k, w1_b, axis=2)
         atn = jnp.einsum("twc,tvc->twv", sparse_q, sparse_q)
         atn = jax.nn.softmax(atn.astype(jnp.float32), axis=-1).astype(x.dtype)
         v_r = jnp.einsum("twv,tvc->twc", atn, v_r)
         # columns: tokens = (b w), positions = h
         q_c = rearrange(sparse_q, "(b h) w c -> (b w) h c", b=b)
-        q_c = _conv_1x9_along_c(q_c, h1_k, h1_b)
+        q_c = _conv9_along(q_c, h1_k, h1_b, axis=1)
         v_c = rearrange(v_r, "(b h) w c -> (b w) h c", b=b)
         atn = jnp.einsum("thc,tgc->thg", q_c, q_c)
         atn = jax.nn.softmax(atn.astype(jnp.float32), axis=-1).astype(x.dtype)

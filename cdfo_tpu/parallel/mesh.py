@@ -1,0 +1,54 @@
+"""Device-mesh and sharding helpers (the reference's latent NCCL/DistSampler
+distributed layer — `opt/deep_learning.py:23-141` — rebuilt as first-class
+jax.sharding over ICI).
+
+Data parallelism: batch axis sharded over the 'data' mesh axis; gradients
+all-reduce over ICI automatically under jit. Spatial parallelism for
+large-frame inference shards H over a 'spatial' axis (the temporal/CP analog
+discussed in SURVEY §2.7).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Optional[Sequence[int]] = None,
+              axis_names: Sequence[str] = ("data",),
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if shape is None:
+        shape = (len(devices),)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = "data"):
+    """Place a host batch on the mesh, sharding the leading axis."""
+
+    def _shard(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(_shard, tree)
+
+
+def replicate(mesh: Mesh, tree):
+    def _rep(x):
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(_rep, tree)
+
+
+def batch_spec(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def spatial_spec(mesh: Mesh, ndim: int, h_axis_index: int,
+                 axis: str = "spatial") -> NamedSharding:
+    spec = [None] * ndim
+    spec[h_axis_index] = axis
+    return NamedSharding(mesh, P(*spec))

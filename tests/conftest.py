@@ -16,6 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU backend regardless of
+# JAX_PLATFORMS env; tests must run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 # Parity tests compare against fp32 torch; do not let XLA run matmul/conv in
 # bf16 passes. (Production code picks precision per-pipeline.)
 jax.config.update("jax_default_matmul_precision", "highest")
