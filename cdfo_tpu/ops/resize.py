@@ -50,6 +50,49 @@ def _linear_matrix(in_size: int, out_size: int, scale: float) -> np.ndarray:
     return m
 
 
+def _resize_axis_up_int(x: jnp.ndarray, axis: int, s: int) -> jnp.ndarray:
+    """Integer-factor bilinear upscale along one axis, half-pixel centers.
+
+    For phase r in [0, s): src = (s*i + r + 0.5)/s - 0.5 = i + (r+0.5)/s - 0.5
+    — every output needs at most two neighbouring inputs with fixed weights,
+    so the whole resize is s shifted weighted sums + an interleave (VPU work,
+    no matmul). Exactly matches the torch formula incl. the src>=0 clamp.
+    """
+    n = x.shape[axis]
+    phases = []
+    for r in range(s):
+        src = (r + 0.5) / s - 0.5  # offset from i, in (-0.5, 0.5)
+        if src < 0:
+            # x0 = i-1 (clamped at 0), lam = 1 + src
+            lam = 1.0 + src
+            left = jnp.concatenate(
+                [jax.lax.slice_in_dim(x, 0, 1, axis=axis),
+                 jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)], axis=axis)
+            phases.append(left * (1.0 - lam) + x * lam)
+        else:
+            lam = src
+            right = jnp.concatenate(
+                [jax.lax.slice_in_dim(x, 1, n, axis=axis),
+                 jax.lax.slice_in_dim(x, n - 1, n, axis=axis)], axis=axis)
+            phases.append(x * (1.0 - lam) + right * lam)
+    stacked = jnp.stack(phases, axis=axis + 1)  # (..., n, s, ...)
+    new_shape = list(x.shape)
+    new_shape[axis] = n * s
+    return stacked.reshape(new_shape)
+
+
+def _resize_axis_down_half(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact 0.5x bilinear downscale: src = 2i + 0.5 -> mean of each
+    adjacent pair (even length) / pair-mean with a trailing clamp (odd)."""
+    n = x.shape[axis]
+    o = n // 2
+    even = jax.lax.slice_in_dim(x, 0, 2 * o, axis=axis)
+    shape = list(x.shape)
+    shape[axis:axis + 1] = [o, 2]
+    pair = even.reshape(shape)
+    return jnp.mean(pair, axis=axis + 1)
+
+
 def interpolate_bilinear(
     x: jnp.ndarray, scale_factor: float | None = None,
     size: tuple[int, int] | None = None,
@@ -57,7 +100,9 @@ def interpolate_bilinear(
     """Bilinear resize of NHWC ``x`` with torch align_corners=False semantics.
 
     Exactly one of ``scale_factor`` / ``size`` must be given. Output spatial
-    dims follow torch: ``floor(in * scale_factor)``.
+    dims follow torch: ``floor(in * scale_factor)``. Integer upscales and
+    exact 0.5x downscale take a stencil fast path (shifted adds instead of
+    the sparse interpolation-matrix matmul).
     """
     b, h, w, c = x.shape
     if size is not None:
@@ -68,6 +113,20 @@ def interpolate_bilinear(
         sh = sw = 1.0 / scale_factor
     if (oh, ow) == (h, w):
         return x
+    if size is None and scale_factor is not None:
+        # stencil weights for x2/x4/x0.5 are exact in bf16; stay in the
+        # input dtype to halve HBM traffic at the large scales
+        s = scale_factor
+        cdt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+        if s >= 2.0 and float(s).is_integer():
+            si = int(s)
+            y = _resize_axis_up_int(x.astype(cdt), 1, si)
+            y = _resize_axis_up_int(y, 2, si)
+            return y.astype(x.dtype)
+        if s == 0.5:
+            y = _resize_axis_down_half(x.astype(cdt), 1)
+            y = _resize_axis_down_half(y, 2)
+            return y.astype(x.dtype)
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     mh = jnp.asarray(_linear_matrix(h, oh, sh))
