@@ -21,6 +21,7 @@ from einops import rearrange
 from flax import linen as nn
 
 from .layers import Conv2d
+from ..ops.fused_attention import column_self_attention, token_self_attention
 from ..ops.resize import interpolate_bilinear
 
 Dtype = Any
@@ -99,7 +100,7 @@ def _conv9_along(x, kernel, bias, axis):
     ``directH1_conv`` has kernel (9, 1) over the (h, c) plane — it convolves
     along the *position* axis (axis=1). The asymmetry is the reference's.
     """
-    pad = [(0, 0), (0, 0), (0, 0)]
+    pad = [(0, 0)] * x.ndim
     pad[axis] = (4, 4)
     xp = jnp.pad(x, pad)
     out = jnp.zeros_like(x)
@@ -168,17 +169,15 @@ class EGLA(nn.Module):
         v_r = rearrange(v_full, "b h w c -> (b h) w c")
         sparse_q = _conv9_along(q_r, w1_k, w1_b, axis=2)
         v_r = _conv9_along(v_r, w1_k, w1_b, axis=2)
-        atn = jnp.einsum("twc,tvc->twv", sparse_q, sparse_q)
-        atn = jax.nn.softmax(atn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        v_r = jnp.einsum("twv,tvc->twc", atn, v_r)
-        # columns: tokens = (b w), positions = h
-        q_c = rearrange(sparse_q, "(b h) w c -> (b w) h c", b=b)
-        q_c = _conv9_along(q_c, h1_k, h1_b, axis=1)
-        v_c = rearrange(v_r, "(b h) w c -> (b w) h c", b=b)
-        atn = jnp.einsum("thc,tgc->thg", q_c, q_c)
-        atn = jax.nn.softmax(atn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        long_out = jnp.einsum("thg,tgc->thc", atn, v_c)
-        long_out = rearrange(long_out, "(b w) h c -> b h w c", b=b)
+        # fused per-token attention (Pallas on TPU): softmax(q q^T) v without
+        # materialising the (T, W, W) score tensor in HBM
+        v_r = token_self_attention(sparse_q, v_r)
+        # columns: attention along H for each (b, w); the column kernel
+        # slices columns in VMEM, avoiding three full HBM transposes
+        q_c = sparse_q.reshape(b, h, w, c)
+        q_c = _conv9_along(q_c, h1_k, h1_b, axis=1)  # directH1: along h
+        v_c = v_r.reshape(b, h, w, c)
+        long_out = column_self_attention(q_c, v_c)
 
         # --- local: inverse-masked window attention ------------------------
         ws = self.window_size
@@ -186,9 +185,8 @@ class EGLA(nn.Module):
         v_w = rearrange(v_full, "b (h dh) (w dw) c -> (b h w) (dh dw) c", dh=ws, dw=ws)
         m_w = rearrange(res_mask_inv, "b (h dh) (w dw) c -> (b h w) (dh dw) c", dh=ws, dw=ws)
         sparse_qw = m_w * q_w
-        atn = jnp.einsum("tpc,tqc->tpq", sparse_qw, sparse_qw)
-        atn = jax.nn.softmax(atn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        loc_out = jnp.einsum("tpq,tqc->tpc", atn, v_w)
+        # 64-token windows: the XLA batched matmul path is already efficient
+        loc_out = token_self_attention(sparse_qw, v_w, use_pallas=False)
         loc_out = rearrange(loc_out, "(b h w) (dh dw) c -> b (h dh) (w dw) c",
                             h=h // ws, w=w // ws, dh=ws, dw=ws)
 

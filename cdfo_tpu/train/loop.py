@@ -71,12 +71,18 @@ def train_loop(model_cfg: ModelConfig, data_cfg: DataConfig,
                log_dir: Optional[str] = None,
                eval_fn: Optional[Callable] = None,
                use_mesh: bool = True,
-               cache_path: Optional[str] = None):
+               cache_path: Optional[str] = None,
+               use_native_batcher: bool = True):
     """Returns the final TrainState. ``eval_fn(state, epoch)`` optional."""
     model = CVSRV8(model_cfg)
     ds = CVCPDataset(data_root, data_cfg, cache_path=cache_path)
-    batcher = TrainBatcher(ds, train_cfg.batch_size, data_cfg.crop_size,
-                           seed=train_cfg.seed)
+    from .. data import native as native_batcher
+    if use_native_batcher and native_batcher.available():
+        batcher = native_batcher.NativeBatcher(
+            ds, train_cfg.batch_size, data_cfg.crop_size, seed=train_cfg.seed)
+    else:
+        batcher = TrainBatcher(ds, train_cfg.batch_size, data_cfg.crop_size,
+                               seed=train_cfg.seed)
     spe = steps_per_epoch or max(1, len(ds) // train_cfg.batch_size)
     epochs = num_epochs or train_cfg.epochs
 
