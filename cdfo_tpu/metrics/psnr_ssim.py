@@ -212,6 +212,39 @@ def cal_psnr_ssim(save_path: str, res_vid_name: Sequence[str],
     return results
 
 
+def cal_psnr_ssim_tof(save_path: str, res_vid_name: Sequence[str],
+                      gt_vid_name: Sequence[str], gt_path: str,
+                      crop_border: int = 4, num_frames: int | None = None):
+    """PSNR/SSIM/tOF sequence driver (`metric/psnr_ssim.py:490-652`
+    dataset drivers): tOF is the Farneback EPE between consecutive GT/SR
+    frame pairs, starting from the second frame."""
+    results = []
+    for res_f, gt_f in zip(res_vid_name, gt_vid_name):
+        frames = num_frames if num_frames is not None else int(res_f[-8:-5])
+        psnr = ssim = tof = 0.0
+        prev_res = prev_gt = None
+        for i in range(frames):
+            idx = "%05d" % i
+            res = _read_gray(os.path.join(save_path, res_f, idx + ".png"))
+            gt = _read_gray(os.path.join(gt_path, gt_f, idx + ".png"))
+            mh = min(res.shape[0], gt.shape[0])
+            mw = min(res.shape[1], gt.shape[1])
+            res = res[:mh, :mw]
+            gt = gt[:mh, :mw]
+            psnr += calculate_psnr(res[..., None].astype(np.float64),
+                                   gt[..., None].astype(np.float64),
+                                   crop_border, test_y_channel=True)
+            ssim += calculate_ssim(res[..., None].astype(np.float64),
+                                   gt[..., None].astype(np.float64),
+                                   crop_border, test_y_channel=True)
+            if prev_res is not None:
+                tof += calculate_tof(gt, res, prev_gt, prev_res)
+            prev_res, prev_gt = res, gt
+        results.append((res_f, psnr / frames, ssim / frames,
+                        tof / max(frames - 1, 1)))
+    return results
+
+
 # --------------------------------------------------------------------------
 # on-device PSNR for training-time validation
 # --------------------------------------------------------------------------

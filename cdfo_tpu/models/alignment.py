@@ -79,22 +79,20 @@ class DualAttAlignment(nn.Module):
                               dtype=self.dtype, name="fusion_out_0")
         msa = _GateMSA(self.dim, self.num_heads, dtype=self.dtype, name="msa")
 
-        if self.use_mv:
+        if not self.use_mv:
+            # DualAttAlignment_woMV (`:3577-3646`): only the pred-feature MSA
+            # (k = pred, unfused); extra_feat/flow unused
+            out = msa(x, pred_feat, pred_feat)
+        elif not self.use_pd:
+            # DualAttAlignment_woPd (`:3502-3571`): only the warped MSA
+            # (k = warped, unfused)
             warped_feat = flow_warp(extra_feat, flow)
+            out = msa(x, warped_feat, warped_feat)
         else:
-            warped_feat = extra_feat
-        if self.use_pd:
+            warped_feat = flow_warp(extra_feat, flow)
             fused_feat = jax.nn.relu(fusion_out_0(
                 jnp.concatenate([warped_feat, pred_feat], axis=-1)))
-        else:
-            fused_feat = warped_feat
-
-        out_1 = msa(x, fused_feat, warped_feat)
-        if self.use_pd:
-            out_2 = msa(x, fused_feat, pred_feat)
-            out = out_1 + out_2
-        else:
-            out = out_1
+            out = msa(x, fused_feat, warped_feat) + msa(x, fused_feat, pred_feat)
         out = jax.nn.relu(fusion_out_0(jnp.concatenate([out, x], axis=-1)))
         out = CALayer(self.dim, dtype=self.dtype, name="CALayer")(out)
         out = ResidualBlockNoBN(self.dim, dtype=self.dtype, name="ResidualBlock")(out)

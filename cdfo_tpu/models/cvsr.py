@@ -76,8 +76,15 @@ class CVSRV8(nn.Module):
             cfg.nf, cfg.align_heads, use_mv=cfg.use_mv, use_pd=cfg.use_pd,
             dtype=dt, name="MV_deform_align")
         if cfg.use_egla:
-            self.rdab = EGLA(cfg.nf, mask_mode=cfg.mask_mode, dtype=dt,
-                             name="RDAB")
+            if not cfg.use_la:      # CVSR_V8_woLA (`:4617,4668`)
+                from .attention_variants import EGLAwoLA
+                self.rdab = EGLAwoLA(cfg.nf, dtype=dt, name="RDAB")
+            elif not cfg.use_ga:    # CVSR_V8_woGA (`:4723,4774`)
+                from .attention_variants import EGLAwoGA
+                self.rdab = EGLAwoGA(cfg.nf, dtype=dt, name="RDAB")
+            else:
+                self.rdab = EGLA(cfg.nf, mask_mode=cfg.mask_mode, dtype=dt,
+                                 name="RDAB")
 
     def embed(self, frames, pms):
         """Shared-weight feature extraction for a stack of frames.
@@ -125,7 +132,10 @@ class CVSRV8(nn.Module):
         rms_prior = self.conv_expand_rms(nbr_rms)
         if cfg.use_egla:
             fea_com = nbr_fea + rms_prior
-            x_n = self.rdab(rms_prior, fea_com)
+            if not cfg.use_la:  # woLA variant takes the features alone
+                x_n = self.rdab(fea_com)
+            else:
+                x_n = self.rdab(rms_prior, fea_com)
         else:
             x_n = nbr_fea + rms_prior
         fea_i = self.conv_expand_fea_r(jnp.concatenate([nbr_fea, x_n], axis=-1))

@@ -105,6 +105,107 @@ class PartitionTransformerSA2(nn.Module):
         return x1
 
 
+class SideToFeaUD(nn.Module):
+    """Stride-2 U encoder without spatial attention
+    (`arch/SIDECVSR_our.py:1736-1756`); 1-channel in/out."""
+
+    nf: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, side):
+        x = lrelu(Conv2d(self.nf, 3, 2, 2, dtype=self.dtype, name="body_0")(side))
+        x = lrelu(Conv2d(self.nf, 3, 2, 2, dtype=self.dtype, name="body_2")(x))
+        x = lrelu(Conv2d(self.nf, 3, 1, 1, dtype=self.dtype, name="body_4")(x))
+        x = lrelu(ConvTranspose2d(self.nf, 3, 2, 2, 0, dtype=self.dtype, name="body_6")(x))
+        x = lrelu(ConvTranspose2d(self.nf, 3, 2, 2, 1, dtype=self.dtype, name="body_8")(x))
+        x = lrelu(Conv2d(1, 3, 1, 1, dtype=self.dtype, name="body_10")(x))
+        return x
+
+
+class SideToFeaUDK(nn.Module):
+    """Like SideToFeaUD but in_f-channel in/out (`:1760-1780`)."""
+
+    in_f: int
+    nf: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, side):
+        x = lrelu(Conv2d(self.nf, 3, 2, 2, dtype=self.dtype, name="body_0")(side))
+        x = lrelu(Conv2d(self.nf, 3, 2, 2, dtype=self.dtype, name="body_2")(x))
+        x = lrelu(Conv2d(self.nf, 3, 1, 1, dtype=self.dtype, name="body_4")(x))
+        x = lrelu(ConvTranspose2d(self.nf, 3, 2, 2, 0, dtype=self.dtype, name="body_6")(x))
+        x = lrelu(ConvTranspose2d(self.nf, 3, 2, 2, 1, dtype=self.dtype, name="body_8")(x))
+        x = lrelu(Conv2d(self.in_f, 3, 1, 1, dtype=self.dtype, name="body_10")(x))
+        return x
+
+
+# SideToFeaUDSA (non-_2) has the identical layer stack to UDSA_2
+# (`:1786-1809` vs `:1815-1834`); alias for inventory clarity.
+SideToFeaUDSA = SideToFeaUDSA2
+
+
+class TransformerBlockSimple(nn.Module):
+    """TransformerBlock (`:1317-1336`): a single norm+MDTA residual (the
+    ffn/conv branches are commented out in the reference)."""
+
+    dim: int = 64
+    num_heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + MDTA(self.dim, self.num_heads, dtype=self.dtype, name="attn")(
+            ChannelLayerNorm(self.dim, dtype=self.dtype, name="norm1")(x))
+        return x
+
+
+class PartitionTransformerSA(nn.Module):
+    """`:1371-1398`: four rounds of {fresh side encode (NOT accumulated),
+    attn + side add, conv} with shared weights."""
+
+    dim: int = 64
+    num_heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2):
+        norm1 = ChannelLayerNorm(self.dim, dtype=self.dtype, name="norm1")
+        norm2 = ChannelLayerNorm(self.dim, dtype=self.dtype, name="norm2")
+        attn = MDTA(self.dim, self.num_heads, dtype=self.dtype, name="attn")
+        conv = Conv2d(self.dim, 3, 1, 1, dtype=self.dtype, name="conv")
+        side = SideToFeaUDSA2(self.dim, nf=16, dtype=self.dtype,
+                              name="side_to_feaoneUDSA")
+        for _ in range(4):
+            x2 = side(x2)
+            x1 = x1 + attn(norm1(x1)) + x2
+            x1 = x1 + conv(norm2(x1))
+        return x1
+
+
+class PartitionTransformerSA1(nn.Module):
+    """`:1403-1436`: the 3-round variant of PartitionTransformerSA."""
+
+    dim: int = 64
+    num_heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2):
+        norm1 = ChannelLayerNorm(self.dim, dtype=self.dtype, name="norm1")
+        norm2 = ChannelLayerNorm(self.dim, dtype=self.dtype, name="norm2")
+        attn = MDTA(self.dim, self.num_heads, dtype=self.dtype, name="attn")
+        conv = Conv2d(self.dim, 3, 1, 1, dtype=self.dtype, name="conv")
+        side = SideToFeaUDSA2(self.dim, nf=16, dtype=self.dtype,
+                              name="side_to_feaoneUDSA")
+        for _ in range(3):
+            x2 = side(x2)
+            x1 = x1 + attn(norm1(x1)) + x2
+            x1 = x1 + conv(norm2(x1))
+        return x1
+
+
 class PartitionTransformerSAWoPAB(nn.Module):
     """Ablation: no partition branch (`arch/SIDECVSR_our.py:1480-1514`)."""
 

