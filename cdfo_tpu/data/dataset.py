@@ -125,6 +125,32 @@ class TrainBatcher:
                           if zero_mvl1 is None else zero_mvl1)
         self.n = ds.cfg.nframes
 
+    def _expand_center_mv_ra(self, mv0: np.ndarray, mv1: np.ndarray) -> np.ndarray:
+        """Random-Access bidirectional expansion (`opt/data_RA_bi.py:496-528`):
+        backward flow from mvl0/(-refoff), forward flow from mvl1/refoff,
+        cross-complemented where either side is unavailable (refoff == -99),
+        scaled outward; both mvl0s and mvl1s get the SAME tensor, /4 /32."""
+        n = self.n
+        c = n // 2
+        out = np.zeros((n, *mv0.shape[:2], 2), np.float32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            bx = mv0[:, :, 0] / (mv0[:, :, 2] * -1.0)
+            by = mv0[:, :, 1] / (mv0[:, :, 2] * -1.0)
+            fx = mv1[:, :, 0] / mv1[:, :, 2]
+            fy = mv1[:, :, 1] / mv1[:, :, 2]
+        m0u = mv0[:, :, 2] == -99
+        m1u = mv1[:, :, 2] == -99
+        out[c - 1, :, :, 0] = np.where(~np.isnan(bx), bx, 0)
+        out[c - 1, :, :, 1] = np.where(~np.isnan(by), by, 0)
+        out[c + 1, :, :, 0] = np.where(~np.isnan(fx), fx, 0)
+        out[c + 1, :, :, 1] = np.where(~np.isnan(fy), fy, 0)
+        out[c - 1][m0u] = -out[c + 1][m0u]
+        out[c + 1][m1u] = -out[c - 1][m1u]
+        for d in range(2, c + 1):
+            out[c - d] = out[c - 1] * d
+            out[c + d] = out[c + 1] * d
+        return out / 4.0 / 32.0
+
     def _expand_center_mv(self, mv_field: np.ndarray) -> np.ndarray:
         """(h, w, 3) xy-swapped field -> (nframes, h, w, 2), /4 then /32
         (Augment `opt/data_LD_bi.py:456-489` + trainer `train_LD_37.py:367`)."""
@@ -192,9 +218,13 @@ class TrainBatcher:
             pms[k, ..., 0] = pm
             rms[k, ..., 0] = rm
             ufs[k, ..., 0] = uf
-            mv0s[k] = self._expand_center_mv(mv0)
-            mv1s[k] = (np.zeros_like(mv0s[k]) if self.zero_mvl1
-                       else self._expand_center_mv(mv1))
+            if self.ds.cfg.coding_cfg == "RA":
+                mv0s[k] = self._expand_center_mv_ra(mv0, mv1)
+                mv1s[k] = mv0s[k]
+            else:
+                mv0s[k] = self._expand_center_mv(mv0)
+                mv1s[k] = (np.zeros_like(mv0s[k]) if self.zero_mvl1
+                           else self._expand_center_mv(mv1))
         return {"lrs": lrs, "mvs0": mv0s, "mvs1": mv1s, "pms": pms,
                 "rms": rms, "ufs": ufs, "hr": hrs}
 

@@ -64,6 +64,38 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, sorted(steps)[-1])
 
 
+def make_eval_fn(model_cfg: ModelConfig, lr_dir: str, side_dir: str,
+                 gt_dir: str, max_frames: Optional[int] = 32):
+    """Periodic-eval hook (the reference's per-`val_itv` ParkScene run,
+    `train_LD_37.py:393-412`): streaming inference over one sequence +
+    Y/crop4 PSNR/SSIM vs the GT PNG tree."""
+    from ..data.io import load_eval_sequence, read_gray
+    from ..infer.pipeline import StreamingInferencer
+    from ..metrics.psnr_ssim import calculate_psnr, calculate_ssim
+    from ..models import CVSRV8
+
+    data = load_eval_sequence(lr_dir, side_dir, max_frames)
+    eval_model = CVSRV8(ModelConfig(**{**model_cfg.__dict__,
+                                       "mask_mode": "expected"}))
+
+    def eval_fn(state, epoch):
+        inf = StreamingInferencer(eval_model, state.params)
+        frames, _ = inf.run_sequence(data)
+        psnrs, ssims = [], []
+        for i, f in enumerate(frames):
+            gt = read_gray(os.path.join(gt_dir, "%05d.png" % i))
+            mh, mw = min(gt.shape[0], f.shape[0]), min(gt.shape[1], f.shape[1])
+            a = f[:mh, :mw, None].astype(np.float64)
+            b = gt[:mh, :mw, None].astype(np.float64)
+            psnrs.append(calculate_psnr(a, b, 4, test_y_channel=True))
+            ssims.append(calculate_ssim(a, b, 4, test_y_channel=True))
+        metrics = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
+        print(json.dumps({"epoch": epoch, **metrics}))
+        return metrics
+
+    return eval_fn
+
+
 def train_loop(model_cfg: ModelConfig, data_cfg: DataConfig,
                train_cfg: TrainConfig, data_root: str,
                num_epochs: Optional[int] = None,

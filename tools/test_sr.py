@@ -27,6 +27,9 @@ def parse_args():
     p.add_argument("--fps", action="store_true", help="report forward-only fps")
     p.add_argument("--mask-mode", default="expected",
                    choices=["expected", "sample"])
+    p.add_argument("--dump-features", default="",
+                   help="directory to save aligned-feature maps (the "
+                        "reference's featuremap_visual, behind a flag)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args()
@@ -46,12 +49,12 @@ def main():
     from cdfo_tpu.metrics import calculate_psnr, calculate_ssim
 
     cfg = ModelConfig(mask_mode=args.mask_mode)
-    model = CVSRV8(cfg)
+    model = CVSRV8(cfg, capture_features=bool(args.dump_features))
 
     if args.synthetic:
         data = synthetic_sequence(t=9, h=64, w=96)
         cfg = ModelConfig(scn_groups=1, mask_mode=args.mask_mode)
-        model = CVSRV8(cfg)
+        model = CVSRV8(cfg, capture_features=bool(args.dump_features))
     else:
         data = load_eval_sequence(args.lr_dir, args.side_dir,
                                   args.max_frames or None)
@@ -76,6 +79,23 @@ def main():
     print(f"wrote {len(frames)} SR frames to {args.save_dir}")
     if fps:
         print(f"forward-only fps: {fps:.3f}")
+
+    if args.dump_features:
+        # one representative window through the capturing model
+        window = inf._build_window(data, min(3, data.num_frames - 1))
+        _, state = model.apply(params, *window, mutable=["intermediates"],
+                               rngs={"gumbel": jax.random.PRNGKey(0)})
+        feats = state["intermediates"]["aligned_fea"][0]  # (B,N,H,W,C)
+        os.makedirs(args.dump_features, exist_ok=True)
+        f = np.asarray(feats)[0]
+        for n in range(f.shape[0]):
+            fmap = f[n].mean(axis=-1)
+            fmap = (fmap - fmap.min()) / (np.ptp(fmap) + 1e-8) * 255
+            write_gray(os.path.join(args.dump_features,
+                                    f"aligned_fea_f{n}.png"),
+                       fmap.astype(np.uint8))
+        print(f"dumped {f.shape[0]} aligned-feature maps to "
+              f"{args.dump_features}")
 
     if args.gt_dir:
         psnrs, ssims = [], []

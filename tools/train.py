@@ -32,6 +32,10 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true",
                    help="generate + train on a tiny synthetic CVCP tree")
     p.add_argument("--cpu", action="store_true", help="force CPU devices")
+    p.add_argument("--eval-lr-dir", default="",
+                   help="validation sequence LR dir (periodic eval)")
+    p.add_argument("--eval-side-dir", default="")
+    p.add_argument("--eval-gt-dir", default="")
     return p.parse_args()
 
 
@@ -75,9 +79,16 @@ def main():
         model_cfg = ModelConfig(scn_groups=1)
         spe = spe or 2
 
+    eval_fn = None
+    if args.eval_lr_dir:
+        from cdfo_tpu.train.loop import make_eval_fn
+        eval_fn = make_eval_fn(model_cfg, args.eval_lr_dir,
+                               args.eval_side_dir, args.eval_gt_dir)
+
     train_loop(model_cfg, data_cfg, train_cfg, data_root,
                steps_per_epoch=spe,
-               cache_path=args.cache or None)
+               cache_path=args.cache or None,
+               eval_fn=eval_fn)
 
 
 if __name__ == "__main__":
