@@ -68,7 +68,12 @@ def _model_inputs(batch) -> Tuple:
 
 def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, jnp.ndarray]:
     """One optimization step. ``batch['hr']`` is the center-frame GT
-    (B, 4H, 4W, 1)."""
+    (B, 4H, 4W, 1).
+
+    Failure containment (the reference has none — SURVEY §5): a non-finite
+    loss skips the update entirely instead of corrupting params/opt-state,
+    so one bad batch cannot kill a long run.
+    """
 
     def loss_fn(params):
         sr, _ = state.apply_fn(params, *_model_inputs(batch),
@@ -76,7 +81,9 @@ def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, jnp.ndarray]:
         return charbonnier_loss(sr, batch["hr"])
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
-    state = state.apply_gradients(grads)
+    new_state = state.apply_gradients(grads)
+    ok = jnp.isfinite(loss)
+    state = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_state, state)
     return state, loss
 
 
