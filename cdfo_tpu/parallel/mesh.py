@@ -22,7 +22,8 @@ def make_mesh(shape: Optional[Sequence[int]] = None,
     devices = devices if devices is not None else jax.devices()
     if shape is None:
         shape = (len(devices),)
-    dev_array = np.asarray(devices).reshape(shape)
+    n = int(np.prod(shape))
+    dev_array = np.asarray(devices[:n]).reshape(shape)
     return Mesh(dev_array, axis_names)
 
 
