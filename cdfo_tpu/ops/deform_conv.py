@@ -28,10 +28,12 @@ import jax.numpy as jnp
 
 
 def _bilinear_gather(img: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray) -> jnp.ndarray:
-    """img (H, W, C); sy/sx (Ho, Wo) float sample coords; zeros outside.
+    """img (H, W, C); sy/sx (..., Ho, Wo) float sample coords; zeros outside.
 
     Matches the CUDA tap semantics (`deform_conv_cuda_kernel.cu:84-114`):
-    each of the four corners contributes only if inside the image.
+    each of the four corners contributes only if inside the image. The four
+    corners are quad-packed into one gather (a one-pixel zero border covers
+    the boundary band; samples fully outside are masked afterwards).
     """
     h, w, _ = img.shape
     y0 = jnp.floor(sy)
@@ -40,24 +42,24 @@ def _bilinear_gather(img: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray) -> jnp.
     wx = sx - x0
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
-    flat = img.reshape(h * w, -1)
 
-    def corner(iy, ix):
-        valid = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
-        iyc = jnp.clip(iy, 0, h - 1)
-        ixc = jnp.clip(ix, 0, w - 1)
-        v = jnp.take(flat, (iyc * w + ixc).reshape(-1), axis=0)
-        v = v.reshape(*iy.shape, -1)
-        return jnp.where(valid[..., None], v, 0)
-
-    v00 = corner(y0i, x0i)
-    v01 = corner(y0i, x0i + 1)
-    v10 = corner(y0i + 1, x0i)
-    v11 = corner(y0i + 1, x0i + 1)
-    return (v00 * ((1 - wy) * (1 - wx))[..., None]
-            + v01 * ((1 - wy) * wx)[..., None]
-            + v10 * (wy * (1 - wx))[..., None]
-            + v11 * (wy * wx)[..., None])
+    xp = jnp.pad(img, ((1, 2), (1, 2), (0, 0)))
+    hp, wp = h + 2, w + 2  # addressable base positions: y0 in [-1, h]
+    quad = jnp.concatenate([
+        xp[:hp, :wp], xp[:hp, 1:wp + 1],
+        xp[1:hp + 1, :wp], xp[1:hp + 1, 1:wp + 1]], axis=-1)
+    py = jnp.clip(y0i + 1, 0, hp - 1)
+    px = jnp.clip(x0i + 1, 0, wp - 1)
+    flat = quad.reshape(hp * wp, -1)
+    q = jnp.take(flat, (py * wp + px).reshape(-1), axis=0)
+    q = q.reshape(*sy.shape, -1)
+    v00, v01, v10, v11 = jnp.split(q, 4, axis=-1)
+    outside = ((y0i < -1) | (y0i > h - 1) | (x0i < -1) | (x0i > w - 1))
+    keep = (~outside)[..., None]
+    return ((jnp.where(keep, v00, 0) * ((1 - wy) * (1 - wx))[..., None])
+            + (jnp.where(keep, v01, 0) * ((1 - wy) * wx)[..., None])
+            + (jnp.where(keep, v10, 0) * (wy * (1 - wx))[..., None])
+            + (jnp.where(keep, v11, 0) * (wy * wx)[..., None]))
 
 
 def deform_conv2d(
@@ -98,37 +100,30 @@ def deform_conv2d(
     base_x = jax.lax.broadcasted_iota(jnp.float32, (ho, wo), 1) * stride - padding
 
     off = offset.astype(jnp.float32).reshape(b, ho, wo, g, k, 2)
+
+    # ONE gather for all (group, tap) pairs: fold G and K into the gather
+    # batch dimension. Keeps the emitted op count constant in K*G, which
+    # is what makes the 25-tap SKConv branches and the V7 pyramid
+    # compile in seconds instead of minutes.
+    tap_dy = (jnp.arange(kh, dtype=jnp.float32) * dilation)[:, None]
+    tap_dx = (jnp.arange(kw, dtype=jnp.float32) * dilation)[None, :]
+    tap_dy = jnp.broadcast_to(tap_dy, (kh, kw)).reshape(k)
+    tap_dx = jnp.broadcast_to(tap_dx, (kh, kw)).reshape(k)
+    # (B, G, K, Ho, Wo)
+    sy = (off[..., 0].transpose(0, 3, 4, 1, 2)
+          + tap_dy[None, None, :, None, None] + base_y[None, None, None])
+    sx = (off[..., 1].transpose(0, 3, 4, 1, 2)
+          + tap_dx[None, None, :, None, None] + base_x[None, None, None])
+    xg = x.reshape(b, h, w, g, cpg).transpose(0, 3, 1, 2, 4)
+    xg = xg.reshape(b * g, h, w, cpg)
+    v = jax.vmap(_bilinear_gather)(
+        xg, sy.reshape(b * g, k, ho, wo), sx.reshape(b * g, k, ho, wo))
+    v = v.astype(x.dtype).reshape(b, g, k, ho, wo, cpg)
     if mask is not None:
         m = mask.astype(x.dtype).reshape(b, ho, wo, g, k)
-
-    # gather per tap, vectorised over deformable groups (g folds into the
-    # gather batch so per-channel groups like STDF's G=Cin stay one gather
-    # per tap instead of K*G separate ones)
-    if g > 1:
-        xg = x.reshape(b, h, w, g, cpg).transpose(0, 3, 1, 2, 4)
-        xg = xg.reshape(b * g, h, w, cpg)
-    cols = []
-    for ki in range(kh):
-        for kj in range(kw):
-            tap = ki * kw + kj
-            if g == 1:
-                sy = base_y[None] + ki * dilation + off[:, :, :, 0, tap, 0]
-                sx = base_x[None] + kj * dilation + off[:, :, :, 0, tap, 1]
-                v = jax.vmap(_bilinear_gather)(x, sy, sx).astype(x.dtype)
-            else:
-                sy = (base_y[None, None] + ki * dilation
-                      + off[:, :, :, :, tap, 0].transpose(0, 3, 1, 2))
-                sx = (base_x[None, None] + kj * dilation
-                      + off[:, :, :, :, tap, 1].transpose(0, 3, 1, 2))
-                v = jax.vmap(_bilinear_gather)(
-                    xg, sy.reshape(b * g, ho, wo), sx.reshape(b * g, ho, wo))
-                v = v.reshape(b, g, ho, wo, cpg).transpose(0, 2, 3, 1, 4)
-                v = v.reshape(b, ho, wo, cin).astype(x.dtype)
-            if mask is not None:
-                mt = m[:, :, :, :, tap]  # (B, Ho, Wo, G)
-                v = v * jnp.repeat(mt, cpg, axis=-1)
-            cols.append(v)
-    cols = jnp.stack(cols, axis=3)  # (B, Ho, Wo, K, Cin)
+        v = v * m.transpose(0, 3, 4, 1, 2)[..., None]
+    # -> (B, Ho, Wo, K, G*cpg = Cin)
+    cols = v.transpose(0, 3, 4, 2, 1, 5).reshape(b, ho, wo, k, cin)
 
     # one MXU matmul per weight group over the (K*Cin/g) contraction
     if groups == 1:

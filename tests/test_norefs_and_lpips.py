@@ -89,7 +89,9 @@ def test_lpips_structure(rng):
         d_same = np.asarray(model.apply(params, x, x))
         d_diff = np.asarray(model.apply(params, x, y))
         np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
-        assert (d_diff >= 0).all()
+        # with random-init heads only the identity-zero property is
+        # guaranteed (official heads are non-negative); distance must differ
+        assert (np.abs(d_diff) > 1e-8).all()
 
 
 @pytest.mark.skipif(not os.path.exists(LPIPS_HEADS), reason="heads absent")
