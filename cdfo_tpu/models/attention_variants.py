@@ -491,6 +491,37 @@ class ContextBlock(nn.Module):
         return x + add
 
 
+class CalibResBlock3D(nn.Module):
+    """Calib_ResBlock_3d (`:2985-3009`): the feature map is re-tiled into a
+    4x4 patch grid whose 16 cells become a (4-channel, 3-D) volume
+    (depth = 4 grid columns, height = C, width = cell pixels), run through a
+    Conv3d(4->nf->4) residual, then scattered back and residually added."""
+
+    nf: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        p = 4
+        hh, ww = h // p, w // p
+        # b (h h1) (w w2) c -> b h1 w2 c (h w)   [torch layout, c-major cells]
+        t = x.transpose(0, 3, 1, 2)                      # b c H W
+        t = t.reshape(b, c, hh, p, ww, p)
+        t = t.transpose(0, 3, 5, 1, 2, 4).reshape(b, p, p, c, hh * ww)
+        # NDHWC for flax 3-D conv: channels = h1 (=4)
+        v = t.transpose(0, 2, 3, 4, 1)                   # b, w2, c, hw, h1
+        y = nn.Conv(self.nf, (3, 3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="dcn0")(v)
+        y = lrelu(y)
+        y = nn.Conv(p, (3, 3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="dcn1")(y) + v
+        t = y.transpose(0, 4, 1, 2, 3)                   # b, h1, w2, c, hw
+        t = t.reshape(b, p, p, c, hh, ww).transpose(0, 3, 4, 1, 5, 2)
+        out = t.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+        return out + x
+
+
 class ResBlock3D(nn.Module):
     """ResBlock_3d (`:2964-2981`): 3-D conv residual over a singleton
     'depth' axis made from channels."""
