@@ -43,6 +43,42 @@ from .prior_encoder import PartitionTransformerSA2, PartitionTransformerSAWoPAB
 from .trunk import SCNetS
 
 
+class _Conv1x1Params(nn.Module):
+    """Bare 1x1-conv params (kernel (1,1,in,out) + bias) under a 'conv'
+    scope so the checkpoint-converter path stays identical to Conv2d's."""
+
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        from .layers import torch_bias_init, torch_conv_kernel_init
+
+        kernel = self.param("kernel", torch_conv_kernel_init,
+                            (1, 1, self.in_ch, self.out_ch))
+        bias = self.param("bias", torch_bias_init(self.in_ch), (self.out_ch,))
+        return kernel, bias
+
+
+class _TSAFusionParams(nn.Module):
+    """tsa_fusion applied as a frame-contraction einsum — avoiding the
+    (B,N,H,W,C)->(B,H,W,N*C) HBM transpose the channel-concat layout would
+    force. Param tree path matches Conv2d ('tsa_fusion/conv/{kernel,bias}')."""
+
+    n: int
+    nf: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, aligned_fea):
+        kernel, bias = _Conv1x1Params(self.n * self.nf, self.nf,
+                                      name="conv")()
+        # torch channel order is frame-major: (n, c) factorisation is exact
+        w = kernel.reshape(self.n, self.nf, self.nf).astype(self.dtype)
+        out = jnp.einsum("bnhwc,nco->bhwo", aligned_fea, w)
+        return out + bias.astype(self.dtype)
+
+
 class CVSRV8(nn.Module):
     cfg: ModelConfig = ModelConfig()
     capture_features: bool = False
@@ -66,7 +102,8 @@ class CVSRV8(nn.Module):
                                       name="conv_expand_ufs")
         self.conv_expand_rms = Conv2d(cfg.nf, 3, 1, 1, dtype=dt,
                                       name="conv_expand_rms")
-        self.tsa_fusion = Conv2d(cfg.nf, 1, 1, 0, dtype=dt, name="tsa_fusion")
+        self._tsa = _TSAFusionParams(cfg.nframes, cfg.nf, dtype=dt,
+                                     name="tsa_fusion")
         self.recon_trunk = SCNetS(cfg.nf, cfg.scn_groups, dtype=dt,
                                   name="recon_trunk")
         self.upconv1 = Conv2d(cfg.nf * 4, 1, 1, 0, dtype=dt, name="upconv1")
@@ -158,9 +195,9 @@ class CVSRV8(nn.Module):
         if self.capture_features:
             self.sow("intermediates", "aligned_fea", aligned_fea)
 
-        # 3. ATFM fusion: frame-ordered channel concat -> 1x1 conv
-        fused = aligned_fea.transpose(0, 2, 3, 1, 4).reshape(b, h, w, n * cfg.nf)
-        fused = lrelu(self.tsa_fusion(fused))
+        # 3. ATFM fusion: 1x1 conv over frame-major channels, applied as a
+        # frame-contraction einsum (no HBM transpose)
+        fused = lrelu(self._tsa(aligned_fea))
 
         # 4. CSSR trunk + upsample head
         out = self.recon_trunk(fused)
