@@ -125,37 +125,42 @@ class StreamingInferencer:
         pixel, so .item() is an honest sync at negligible transfer cost).
         """
         rng = self.mask_rng if self.mask_rng is not None else jax.random.PRNGKey(0)
-        # ---- host prep + device staging (outside the timing boundary) ----
-        windows = []
-        for i in range(data.num_frames):
-            w = self._build_window(data, i)
-            windows.append(jax.tree.map(jax.device_put, w))
-            rng, sub = jax.random.split(rng)
-        subs = jax.random.split(rng, data.num_frames)
-        # ---- timed forward loop ----
+        t = data.num_frames
+        subs = jax.random.split(rng, t)
+        # Chunked staging: windows are prepared and transferred in bursts of
+        # ``chunk`` frames (device memory stays O(chunk), not O(sequence) —
+        # JCT-VC sequences run to 600 frames), and each burst happens outside
+        # the timed forward region, matching the reference's boundary where
+        # input staging is excluded (`test_LD_22_FPS.py:183-189`).
+        chunk = 16
         l1 = None
-        srs = []
+        out_frames = [None] * t
         total_fwd = 0.0
-        for i, window in enumerate(windows):
-            t0 = time.perf_counter()
-            if l1 is None:
-                sr, l1 = self._fwd_first(self.params, *window, subs[i])
-            else:
-                sr, l1 = self._fwd_next(self.params, *window, l1, subs[i])
-            if collect_timing:
-                float(jnp.sum(sr))  # force completion
-                if i > 0:  # first frame carries the non-cached graph
-                    total_fwd += time.perf_counter() - t0
-            srs.append(sr)
-        # ---- readback + crop/quantize (outside the boundary) ----
-        out_frames = []
-        for sr in srs:
-            sr_img = crop_sr_output(np.asarray(sr)[0, :, :, 0])
-            out_frames.append(
-                (np.clip(sr_img, 0.0, 1.0) * 255.0).astype(np.uint8))
+        for c0 in range(0, t, chunk):
+            c1 = min(c0 + chunk, t)
+            windows = [jax.tree.map(jax.device_put, self._build_window(data, i))
+                       for i in range(c0, c1)]
+            jax.block_until_ready(windows)
+            srs = []
+            for i in range(c0, c1):
+                window = windows[i - c0]
+                t0 = time.perf_counter()
+                if l1 is None:
+                    sr, l1 = self._fwd_first(self.params, *window, subs[i])
+                else:
+                    sr, l1 = self._fwd_next(self.params, *window, l1, subs[i])
+                if collect_timing:
+                    float(jnp.sum(sr))  # force completion
+                    if i > 0:  # first frame carries the non-cached graph
+                        total_fwd += time.perf_counter() - t0
+                srs.append(sr)
+            for i, sr in zip(range(c0, c1), srs):
+                sr_img = crop_sr_output(np.asarray(sr)[0, :, :, 0])
+                out_frames[i] = (
+                    np.clip(sr_img, 0.0, 1.0) * 255.0).astype(np.uint8)
         fps = None
-        if collect_timing and data.num_frames > 1:
-            fps = (data.num_frames - 1) / total_fwd
+        if collect_timing and t > 1:
+            fps = (t - 1) / total_fwd
         return np.stack(out_frames), fps
 
 
