@@ -79,6 +79,32 @@ class _TSAFusionParams(nn.Module):
         return out + bias.astype(self.dtype)
 
 
+class _SubpixelUp2(nn.Module):
+    """1x1 conv (nf -> 4nf) + PixelShuffle(2), fused into ONE lhs-dilated
+    conv with a 2x2 phase kernel — numerically identical (torch PS channel
+    order c*4+dy*2+dx) but transpose-free. Params keep the Conv2d tree path
+    ('upconvN/conv/{kernel,bias}') for the checkpoint converter."""
+
+    nf: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel, bias = _Conv1x1Params(self.nf, self.nf * 4, name="conv")()
+        wk = kernel[0, 0].reshape(self.nf, self.nf, 2, 2)  # in, c, dy, dx
+        k = wk[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)     # ky=1-dy, kx=1-dx
+        y = jax.lax.conv_general_dilated(
+            x, k.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        b = bias.reshape(self.nf, 2, 2)
+        # bias per output phase: out(2y+dy, 2x+dx, c) += bias[c*4+dy*2+dx]
+        bb = b.transpose(1, 2, 0).reshape(1, 1, 2, 1, 2, self.nf)
+        h2, w2 = y.shape[1], y.shape[2]
+        y = y.reshape(-1, h2 // 2, 2, w2 // 2, 2, self.nf) + bb.astype(self.dtype)
+        return y.reshape(-1, h2, w2, self.nf)
+
+
 class CVSRV8(nn.Module):
     cfg: ModelConfig = ModelConfig()
     capture_features: bool = False
@@ -106,8 +132,8 @@ class CVSRV8(nn.Module):
                                      name="tsa_fusion")
         self.recon_trunk = SCNetS(cfg.nf, cfg.scn_groups, dtype=dt,
                                   name="recon_trunk")
-        self.upconv1 = Conv2d(cfg.nf * 4, 1, 1, 0, dtype=dt, name="upconv1")
-        self.upconv2 = Conv2d(cfg.nf * 4, 1, 1, 0, dtype=dt, name="upconv2")
+        self.upconv1 = _SubpixelUp2(cfg.nf, dtype=dt, name="upconv1")
+        self.upconv2 = _SubpixelUp2(cfg.nf, dtype=dt, name="upconv2")
         self.conv_last = Conv2d(1, 3, 1, 1, dtype=dt, name="conv_last")
         self.mv_deform_align = DualAttAlignment(
             cfg.nf, cfg.align_heads, use_mv=cfg.use_mv, use_pd=cfg.use_pd,
@@ -201,8 +227,8 @@ class CVSRV8(nn.Module):
 
         # 4. CSSR trunk + upsample head
         out = self.recon_trunk(fused)
-        out = lrelu(pixel_shuffle(self.upconv1(out), 2))
-        out = lrelu(pixel_shuffle(self.upconv2(out), 2))
+        out = lrelu(self.upconv1(out))
+        out = lrelu(self.upconv2(out))
         out = self.conv_last(out)
 
         base = interpolate_bilinear(lrs[:, center], scale_factor=float(cfg.scale))
