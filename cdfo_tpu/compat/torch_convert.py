@@ -53,6 +53,10 @@ def _segment_to_torch(seg: str) -> str:
 def flax_to_torch_key(path: Tuple[str, ...]) -> Tuple[str, Callable]:
     """Map a flax param path to (torch state_dict key, array transform)."""
     segs = list(path)
+    # variant wrappers (CVSRV9 etc.) nest the shared structure under a
+    # literal 'body' submodule that has no torch counterpart
+    if segs and segs[0] == "body":
+        segs = segs[1:]
     leaf = segs[-1]
 
     def t_conv(a):  # torch (out, in/groups, kh, kw) -> (kh, kw, in/g, out)

@@ -29,6 +29,9 @@ class ModelConfig:
     use_mv: bool = True          # MV flow-warp in alignment
     use_pd: bool = True          # pred-feature branch in alignment
     use_egla: bool = True        # spatial-compensate block at all
+    # execution strategy (numerics-preserving): fused Pallas trunk kernel
+    # in row-major (H, C, W) layout — see cdfo_tpu/models/trunk_fast.py
+    fused_trunk: bool = False
     compute_dtype: Any = jnp.float32
 
     @property

@@ -1,0 +1,150 @@
+"""Batched streaming inference engine (production path).
+
+Key restructure vs the reference's per-window loop (`test_LD_37.py:131-169`
+and our round-1 pipeline): the spatial-compensate block (EGLA + the
+``conv_expand_fea_r`` projection) and the prior expansions depend only on
+the NEIGHBOUR frame, not on which window it appears in — the reference
+recomputes them for every window membership, i.e. ~6x per frame in
+streaming (`SIDECVSR_our.py:4443-4460`). This engine computes them ONCE
+per frame into device-side ring buffers and runs the center-dependent work
+(MV warp + dual attention + fusion + trunk + head) for ``k`` output frames
+per dispatch.
+
+Numerically identical to the per-window forward when the EGLA mask is
+deterministic (``mask_mode='expected'``); with ``mask_mode='sample'`` the
+reference itself redraws gumbel noise per membership, so per-frame caching
+is a (documented, PSNR-neutral) different noise schedule.
+
+FPS protocol: frames / sum(device-side forward time) with frame 0 and the
+bootstrap embed INCLUDED, matching `test_LD_22_FPS.py:185-192` exactly
+(``FPS = len(f)/Sumtime`` — the reference timer covers frame 0's full
+window embed; round 1 wrongly excluded it).
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.mv import modify_mv_for_end_frames, mv2mvs
+from .pipeline import SequenceData, crop_sr_output
+
+
+class BatchedStreamingEngine:
+    """k-frame batched streaming with per-frame compensation ring buffers."""
+
+    def __init__(self, model, params, k: int = 4, nframes: int = 7,
+                 mask_rng: Optional[jax.Array] = None):
+        self.model = model
+        self.params = params
+        self.k = k
+        self.n = nframes
+        cfg = getattr(model, "cfg", None)
+        self._needs_rng = bool(cfg and cfg.mask_mode == "sample")
+        self.mask_rng = (mask_rng if mask_rng is not None
+                         else jax.random.PRNGKey(0))
+
+        def comp(params, lrs, pms, rms, ufs, rng):
+            rngs = {"gumbel": rng} if self._needs_rng else None
+            return model.apply(params, lrs, pms, rms, ufs,
+                               method="compensate_frames", rngs=rngs)
+
+        def step(params, ring_l1, ring_fi, ring_uf, lrs, pms, rms, ufs,
+                 mvs, center_lr, idx, cidx, rng):
+            l1n, fin, ufn = comp(params, lrs, pms, rms, ufs, rng)
+            ring_l1 = jnp.concatenate([ring_l1[k:], l1n])
+            ring_fi = jnp.concatenate([ring_fi[k:], fin])
+            ring_uf = jnp.concatenate([ring_uf[k:], ufn])
+            sr = model.apply(params, ring_l1[cidx], center_lr,
+                             ring_fi[idx], ring_uf[idx], mvs,
+                             method="align_reconstruct",
+                             rngs={"gumbel": rng} if self._needs_rng else None)
+            return sr, ring_l1, ring_fi, ring_uf
+
+        self._boot = jax.jit(comp)
+        self._step = jax.jit(step, donate_argnums=(1, 2, 3))
+
+    # -- host-side input prep (outside the timed region) -----------------
+
+    def _frame_inputs(self, data: SequenceData, frames):
+        """Stack per-frame inputs for a list of (already clamped) frame
+        indices; priors use the reference's max(1, i) I-frame rule."""
+        pidx = [max(1, f) for f in frames]
+        lrs = data.lr[list(frames)][..., None].astype(np.float32)
+        pms = data.pm[pidx][..., None].astype(np.float32)
+        rms = data.rm[pidx][..., None].astype(np.float32)
+        ufs = data.uf[pidx][..., None].astype(np.float32)
+        return lrs, pms, rms, ufs
+
+    def _center_mvs(self, data: SequenceData, center: int):
+        t = data.num_frames
+        h = data.lr.shape[1]
+        ci = min(max(1, center), t - 1)
+        mvs1 = mv2mvs(data.mvl1[ci], self.n)
+        modify_mv_for_end_frames(min(center, t - 1), mvs1, t)
+        if mvs1.shape[1] != h:
+            mvs1 = np.pad(mvs1, ((0, 0), (0, h - mvs1.shape[1]),
+                                 (0, 0), (0, 0)))
+        keep = [p for p in range(self.n) if p != self.n // 2]
+        return mvs1[keep]  # (N-1, H, W, 2)
+
+    def run_sequence(self, data: SequenceData, collect_timing: bool = False):
+        """Returns (sr uint8 (T, sH, sW), fps or None). The timer covers
+        all device-side forward work (bootstrap embed + every step) and
+        divides the FULL frame count — `test_LD_22_FPS.py:185-192`."""
+        k, n, t = self.k, self.n, data.num_frames
+        half = n // 2
+        rng = self.mask_rng
+        total = 0.0
+
+        # bootstrap ring: frames [-k-3 .. 2] clamped (so that the first
+        # step's update leaves the ring covering [-3 .. k+2])
+        boot_frames = [min(max(f, 0), t - 1)
+                       for f in range(-k - half, half)]
+        binp = jax.tree.map(jax.device_put,
+                            self._frame_inputs(data, boot_frames))
+        jax.block_until_ready(binp)
+        rng, sub = jax.random.split(rng)
+        t0 = time.perf_counter()
+        ring_l1, ring_fi, ring_uf = self._boot(self.params, *binp, sub)
+        float(jnp.sum(ring_l1))  # honest sync (axon block_until_ready no-op)
+        total += time.perf_counter() - t0
+
+        out_frames = [None] * t
+        poffs = [p for p in range(n) if p != half]
+        for j in range(0, t, k):
+            centers = list(range(j, j + k))
+            new_frames = [min(max(c + half, 0), t - 1)
+                          for c in range(j, j + k)]
+            ninp = self._frame_inputs(data, new_frames)
+            mvs = np.stack([self._center_mvs(data, c) for c in centers])
+            center_lr = data.lr[[min(c, t - 1) for c in centers]][..., None]
+            base = j - half
+            idx = np.array([[min(max(c - half + p, 0), t - 1) - base
+                             for p in poffs] for c in centers], np.int32)
+            cidx = np.array([min(c, t - 1) - base for c in centers], np.int32)
+            idx = np.clip(idx, 0, k + n - 2)
+            cidx = np.clip(cidx, 0, k + n - 2)
+
+            staged = jax.tree.map(jax.device_put, (
+                *ninp, mvs.astype(np.float32),
+                center_lr.astype(np.float32), idx, cidx))
+            jax.block_until_ready(staged)
+            rng, sub = jax.random.split(rng)
+            t0 = time.perf_counter()
+            sr, ring_l1, ring_fi, ring_uf = self._step(
+                self.params, ring_l1, ring_fi, ring_uf, *staged, sub)
+            if collect_timing:
+                float(jnp.sum(sr))
+                total += time.perf_counter() - t0
+            sr_np = np.asarray(sr)
+            for b, c in enumerate(centers):
+                if c < t:
+                    img = crop_sr_output(sr_np[b, :, :, 0])
+                    out_frames[c] = (np.clip(img, 0.0, 1.0)
+                                     * 255.0).astype(np.uint8)
+        fps = (t / total) if collect_timing else None
+        return np.stack(out_frames), fps

@@ -124,14 +124,24 @@ class CVSRV8(nn.Module):
                 name="transformer_feature_extraction")
         self.conv_expand_fea_r = Conv2d(cfg.nf, 3, 1, 1, dtype=dt,
                                         name="conv_expand_fea_r")
-        self.conv_expand_ufs = Conv2d(cfg.nf, 3, 1, 1, dtype=dt,
-                                      name="conv_expand_ufs")
-        self.conv_expand_rms = Conv2d(cfg.nf, 3, 1, 1, dtype=dt,
-                                      name="conv_expand_rms")
+        # the reference ablations REMOVE the prior-expansion convs whose
+        # branch is off (commented-out ctor lines `:4603,4922`): woPd has no
+        # conv_expand_ufs, woLA no conv_expand_rms
+        if cfg.use_pd:
+            self.conv_expand_ufs = Conv2d(cfg.nf, 3, 1, 1, dtype=dt,
+                                          name="conv_expand_ufs")
+        if cfg.use_la or not cfg.use_egla:
+            self.conv_expand_rms = Conv2d(cfg.nf, 3, 1, 1, dtype=dt,
+                                          name="conv_expand_rms")
         self._tsa = _TSAFusionParams(cfg.nframes, cfg.nf, dtype=dt,
                                      name="tsa_fusion")
-        self.recon_trunk = SCNetS(cfg.nf, cfg.scn_groups, dtype=dt,
-                                  name="recon_trunk")
+        if cfg.fused_trunk:
+            from .trunk_fast import SCNetFast
+            self.recon_trunk = SCNetFast(cfg.nf, cfg.scn_groups, dtype=dt,
+                                         name="recon_trunk")
+        else:
+            self.recon_trunk = SCNetS(cfg.nf, cfg.scn_groups, dtype=dt,
+                                      name="recon_trunk")
         self.upconv1 = _SubpixelUp2(cfg.nf, dtype=dt, name="upconv1")
         self.upconv2 = _SubpixelUp2(cfg.nf, dtype=dt, name="upconv2")
         self.conv_last = Conv2d(1, 3, 1, 1, dtype=dt, name="conv_last")
@@ -139,15 +149,19 @@ class CVSRV8(nn.Module):
             cfg.nf, cfg.align_heads, use_mv=cfg.use_mv, use_pd=cfg.use_pd,
             dtype=dt, name="MV_deform_align")
         if cfg.use_egla:
-            if not cfg.use_la:      # CVSR_V8_woLA (`:4617,4668`)
-                from .attention_variants import EGLAwoLA
-                self.rdab = EGLAwoLA(cfg.nf, dtype=dt, name="RDAB")
-            elif not cfg.use_ga:    # CVSR_V8_woGA (`:4723,4774`)
-                from .attention_variants import EGLAwoGA
-                self.rdab = EGLAwoGA(cfg.nf, dtype=dt, name="RDAB")
-            else:
-                self.rdab = EGLA(cfg.nf, mask_mode=cfg.mask_mode, dtype=dt,
-                                 name="RDAB")
+            self.rdab = self._make_rdab()
+
+    def _make_rdab(self):
+        """The RDAB-slot module (torch name 'RDAB'); V9 overrides this."""
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        if not cfg.use_la:          # CVSR_V8_woLA (`:4617,4668`)
+            from .attention_variants import EGLAwoLA
+            return EGLAwoLA(cfg.nf, dtype=dt, name="RDAB")
+        if not cfg.use_ga:          # CVSR_V8_woGA (`:4723,4774`)
+            from .attention_variants import EGLAwoGA
+            return EGLAwoGA(cfg.nf, dtype=dt, name="RDAB")
+        return EGLA(cfg.nf, mask_mode=cfg.mask_mode, dtype=dt, name="RDAB")
 
     def embed(self, frames, pms):
         """Shared-weight feature extraction for a stack of frames.
@@ -159,6 +173,93 @@ class CVSRV8(nn.Module):
             sides = self.conv_second(pms)
             return self.transformer_feature_extraction(l1, sides)
         return self.transformer_feature_extraction(l1)
+
+    def _compensate(self, fea, rms):
+        """Spatial-compensate block -> aligner input ``fea_i``.
+
+        Center-INDEPENDENT (reference recomputes this per window membership
+        — `:4446-4454` — but the value only depends on the neighbour frame,
+        so streaming can compute it once per frame; see infer/engine.py).
+        fea (M, H, W, nf), rms (M, H, W, 1) -> (M, H, W, nf).
+        """
+        cfg = self.cfg
+        if cfg.use_egla:
+            if not cfg.use_la:
+                # woLA (`:4664-4668`): no rms branch at all — fea_com is
+                # the bare neighbour feature
+                x_n = self.rdab(fea)
+            else:
+                rms_prior = self.conv_expand_rms(rms)
+                x_n = self.rdab(rms_prior, fea + rms_prior)
+        else:
+            x_n = fea + self.conv_expand_rms(rms)
+        return self.conv_expand_fea_r(jnp.concatenate([fea, x_n], axis=-1))
+
+    def _reconstruct(self, aligned_fea, center_lr):
+        """ATFM fusion + CSSR trunk + upsample head + bilinear base.
+
+        aligned_fea (B, N, H, W, nf), center_lr (B, H, W, 1) -> SR fp32.
+        """
+        fused = lrelu(self._tsa(aligned_fea))
+        out = self.recon_trunk(fused)
+        out = lrelu(self.upconv1(out))
+        out = lrelu(self.upconv2(out))
+        out = self.conv_last(out)
+        base = interpolate_bilinear(
+            center_lr.astype(self.cfg.compute_dtype),
+            scale_factor=float(self.cfg.scale))
+        return (out + base).astype(jnp.float32)
+
+    # ------------------------------------------------------------------
+    # streaming-engine entry points (see cdfo_tpu/infer/engine.py): the
+    # per-frame work (embed + compensate + prior expansion) is split from
+    # the per-center work (align + fuse + reconstruct) so a sequence does
+    # each frame's compensation ONCE instead of once per window membership
+    # ------------------------------------------------------------------
+
+    def compensate_frames(self, lrs, pms, rms, ufs):
+        """Per-frame center-independent stage.
+
+        lrs/pms/rms/ufs: (M, H, W, 1) — frame m's decoded LR, partition
+        map, residual and unfiltered-pred (priors already max(1,i)-indexed
+        by the caller). Returns (l1, fea_i, ufs_prior), each (M, H, W, nf)
+        (ufs_prior is zeros-shaped None-stand-in when use_pd=False).
+        """
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        l1 = self.embed(lrs.astype(dt), pms.astype(dt))
+        fea_i = self._compensate(l1, rms.astype(dt))
+        if cfg.use_pd:
+            ufs_p = self.conv_expand_ufs(ufs.astype(dt))
+        else:
+            ufs_p = jnp.zeros_like(l1)
+        return l1, fea_i, ufs_p
+
+    def align_reconstruct(self, center_l1, center_lr, nbr_fea_i, nbr_ufs_p,
+                          nbr_mv):
+        """Per-center stage, batched over k output frames.
+
+        center_l1 (k, H, W, nf); center_lr (k, H, W, 1);
+        nbr_* (k, N-1, H, W, ...) in temporal order excluding the center;
+        nbr_mv (k, N-1, H, W, 2) expanded L1 flows. Returns SR (k, sH, sW, 1).
+        """
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        k, nm1, h, w, _ = nbr_fea_i.shape
+        center_l1 = center_l1.astype(dt)
+        center_rep = jnp.broadcast_to(
+            center_l1[:, None], (k, nm1, h, w, cfg.nf)
+        ).reshape(k * nm1, h, w, cfg.nf)
+        fea_i = nbr_fea_i.astype(dt).reshape(k * nm1, h, w, cfg.nf)
+        ufs_p = (nbr_ufs_p.astype(dt).reshape(k * nm1, h, w, cfg.nf)
+                 if cfg.use_pd else None)
+        mv = nbr_mv.astype(dt).reshape(k * nm1, h, w, 2)
+        aligned = self.mv_deform_align(center_rep, fea_i, ufs_p, mv)
+        aligned = aligned.reshape(k, nm1, h, w, cfg.nf)
+        c = cfg.center
+        aligned_fea = jnp.concatenate(
+            [aligned[:, :c], center_l1[:, None], aligned[:, c:]], axis=1)
+        return self._reconstruct(aligned_fea, center_lr)
 
     def __call__(self, lrs, mvs0, mvs1, pms, rms, ufs,
                  pre_l1: Optional[jnp.ndarray] = None):
@@ -191,17 +292,8 @@ class CVSRV8(nn.Module):
         nbr_ufs = ufs[:, nbr_idx].reshape(b * (n - 1), h, w, 1)
         nbr_mv = mvs1.astype(dt)[:, nbr_idx].reshape(b * (n - 1), h, w, 2)
 
-        ufs_prior = self.conv_expand_ufs(nbr_ufs)
-        rms_prior = self.conv_expand_rms(nbr_rms)
-        if cfg.use_egla:
-            fea_com = nbr_fea + rms_prior
-            if not cfg.use_la:  # woLA variant takes the features alone
-                x_n = self.rdab(fea_com)
-            else:
-                x_n = self.rdab(rms_prior, fea_com)
-        else:
-            x_n = nbr_fea + rms_prior
-        fea_i = self.conv_expand_fea_r(jnp.concatenate([nbr_fea, x_n], axis=-1))
+        ufs_prior = self.conv_expand_ufs(nbr_ufs) if cfg.use_pd else None
+        fea_i = self._compensate(nbr_fea, nbr_rms)
 
         center_rep = jnp.broadcast_to(
             center_fea[:, None], (b, n - 1, h, w, cfg.nf)
@@ -221,19 +313,9 @@ class CVSRV8(nn.Module):
         if self.capture_features:
             self.sow("intermediates", "aligned_fea", aligned_fea)
 
-        # 3. ATFM fusion: 1x1 conv over frame-major channels, applied as a
-        # frame-contraction einsum (no HBM transpose)
-        fused = lrelu(self._tsa(aligned_fea))
-
-        # 4. CSSR trunk + upsample head
-        out = self.recon_trunk(fused)
-        out = lrelu(self.upconv1(out))
-        out = lrelu(self.upconv2(out))
-        out = self.conv_last(out)
-
-        base = interpolate_bilinear(lrs[:, center], scale_factor=float(cfg.scale))
-        sr = out + base
-        return sr.astype(jnp.float32), l1_fea
+        # 3+4. ATFM fusion, CSSR trunk, upsample head, bilinear base
+        sr = self._reconstruct(aligned_fea, lrs[:, center])
+        return sr, l1_fea
 
 
 def make_model(cfg: ModelConfig | None = None, **kw) -> CVSRV8:

@@ -277,7 +277,7 @@ class CVSRV9(nn.Module):
 
 
 class _V8WithEGLA1(CVSRV8):
-    def setup(self):
-        super().setup()
-        self.rdab = EGLA1(self.cfg.nf, dtype=self.cfg.compute_dtype,
-                          name="RDAB_1")
+    def _make_rdab(self):
+        # torch name stays 'RDAB' (`:5046` assigns LLongRangAttention_1 to
+        # the same attribute)
+        return EGLA1(self.cfg.nf, dtype=self.cfg.compute_dtype, name="RDAB")

@@ -1,0 +1,349 @@
+"""Import harness for the REFERENCE torch model (test oracle only).
+
+Loads `/root/reference/arch/SIDECVSR_our.py` on CPU torch by shimming its
+missing/broken dependencies (the repo as shipped does not run — SURVEY §0):
+
+* ``arch.ops.dcn`` (compiled CUDA ext absent) -> pure-torch modulated
+  deformable conv implementing the CUDA kernel's exact semantics
+  (`ops/dcn/src/deform_conv_cuda_kernel.cu:570-633`: per-deformable-group
+  interleaved (dy,dx) tap offsets, zero out-of-bounds bilinear taps,
+  per-tap sigmoid mask) — verified against our JAX op in
+  test_golden_parity.py.
+* ``torchvision`` (absent in env) -> `ops.deform_conv2d` routed to the same
+  pure-torch kernel (torchvision layout == DCNv2 layout), stubs for the
+  unused datasets/transforms/save_image imports.
+* ``timm.models.layers`` (absent) -> DropPath/to_2tuple/trunc_normal_.
+* `.cuda()` / `.to('cuda')` no-oped (hardcoded GPU pinning, SURVEY §0.6).
+* ``featuremap_visual*`` no-oped post-import (unconditional matplotlib dump
+  to a hardcoded cluster path, `SIDECVSR_our.py:1255`).
+* ``ModulatedDeformConv`` injected into module globals (used at `:80`
+  without an import — NameError as shipped, SURVEY §0.3).
+
+NOTHING from the reference is shipped: this module is used by tests to
+produce golden outputs that our TPU-native implementation must match.
+"""
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+REF_ARCH = "/root/reference/arch/SIDECVSR_our.py"
+
+_pair = lambda v: v if isinstance(v, (tuple, list)) else (v, v)
+
+
+# ---------------------------------------------------------------------------
+# pure-torch deformable conv (CUDA-kernel semantics)
+# ---------------------------------------------------------------------------
+
+def _dcn_columns(x, offset, mask, kh, kw, stride, padding, dilation,
+                 deformable_groups):
+    """Bilinear-sampled im2col columns: (B, Cin, K, Ho*Wo).
+
+    offset: (B, dg*2K, Ho, Wo), per-group interleaved [dy_t, dx_t] — the
+    layout `deform_conv_cuda_kernel.cu:190-240` reads. mask: (B, dg*K, Ho,
+    Wo) or None. Out-of-bounds corners contribute zero (grid_sample zeros
+    padding == dmcn_im2col_bilinear).
+    """
+    b, cin, h, w = x.shape
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    dh, dw = _pair(dilation)
+    k = kh * kw
+    dg = deformable_groups
+    ho = (h + 2 * ph - (dh * (kh - 1) + 1)) // sh + 1
+    wo = (w + 2 * pw - (dw * (kw - 1) + 1)) // sw + 1
+
+    dev, dt = x.device, x.dtype
+    oy = torch.arange(ho, device=dev, dtype=dt) * sh - ph
+    ox = torch.arange(wo, device=dev, dtype=dt) * sw - pw
+    ty = torch.arange(kh, device=dev, dtype=dt) * dh
+    tx = torch.arange(kw, device=dev, dtype=dt) * dw
+    # base tap position per (tap, out-pixel): (K, Ho, Wo)
+    base_y = (ty[:, None] + oy[None, :]).reshape(kh, 1, ho, 1)
+    base_x = (tx[:, None] + ox[None, :]).reshape(1, kw, 1, wo)
+    base_y = base_y.expand(kh, kw, ho, wo).reshape(k, ho, wo)
+    base_x = base_x.expand(kh, kw, ho, wo).reshape(k, ho, wo)
+
+    off = offset.reshape(b, dg, k, 2, ho, wo)
+    py = base_y + off[:, :, :, 0]  # (B, dg, K, Ho, Wo)
+    px = base_x + off[:, :, :, 1]
+
+    gy = 2.0 * py / max(h - 1, 1) - 1.0
+    gx = 2.0 * px / max(w - 1, 1) - 1.0
+    grid = torch.stack([gx, gy], dim=-1).reshape(b * dg, k, ho * wo, 2)
+    xg = x.reshape(b * dg, cin // dg, h, w)
+    cols = F.grid_sample(xg, grid, mode="bilinear", padding_mode="zeros",
+                         align_corners=True)      # (B*dg, C/dg, K, Ho*Wo)
+    cols = cols.reshape(b, dg, cin // dg, k, ho * wo)
+    if mask is not None:
+        cols = cols * mask.reshape(b, dg, 1, k, ho * wo)
+    return cols.reshape(b, cin, k, ho * wo), ho, wo
+
+
+def modulated_deform_conv(x, offset, mask, weight, bias=None, stride=1,
+                          padding=0, dilation=1, groups=1,
+                          deformable_groups=1):
+    cout, cin_g, kh, kw = weight.shape
+    cols, ho, wo = _dcn_columns(x, offset, mask, kh, kw, stride, padding,
+                                dilation, deformable_groups)
+    b, cin = cols.shape[0], cols.shape[1]
+    cols = cols.reshape(b, groups, cin // groups, kh * kw, ho * wo)
+    wg = weight.reshape(groups, cout // groups, cin_g, kh * kw)
+    out = torch.einsum("bgckp,gock->bgop", cols, wg)
+    out = out.reshape(b, cout, ho, wo)
+    if bias is not None:
+        out = out + bias.reshape(1, cout, 1, 1)
+    return out
+
+
+def deform_conv(x, offset, weight, stride=1, padding=0, dilation=1,
+                groups=1, deformable_groups=1):
+    return modulated_deform_conv(x, offset, None, weight, None, stride,
+                                 padding, dilation, groups,
+                                 deformable_groups)
+
+
+class ModulatedDeformConv(nn.Module):
+    """Interface-compatible with `ops/dcn/deform_conv.py:264-309`."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding=0, dilation=1, groups=1, deformable_groups=1,
+                 bias=True):
+        super().__init__()
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = _pair(kernel_size)
+        self.stride = stride
+        self.padding = padding
+        self.dilation = dilation
+        self.groups = groups
+        self.deformable_groups = deformable_groups
+        self.with_bias = bias
+        self.weight = nn.Parameter(torch.Tensor(
+            out_channels, in_channels // groups, *self.kernel_size))
+        if bias:
+            self.bias = nn.Parameter(torch.Tensor(out_channels))
+        else:
+            self.register_parameter("bias", None)
+        self.reset_parameters()
+
+    def reset_parameters(self):
+        n = self.in_channels
+        for kk in self.kernel_size:
+            n *= kk
+        stdv = 1.0 / (n ** 0.5)
+        self.weight.data.uniform_(-stdv, stdv)
+        if self.bias is not None:
+            self.bias.data.zero_()
+
+    def forward(self, x, offset, mask):
+        return modulated_deform_conv(
+            x, offset, mask, self.weight, self.bias, self.stride,
+            self.padding, self.dilation, self.groups, self.deformable_groups)
+
+
+class ModulatedDeformConvPack(ModulatedDeformConv):
+    """Interface-compatible with `ops/dcn/deform_conv.py:311-337`."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.conv_offset_mask = nn.Conv2d(
+            self.in_channels,
+            self.deformable_groups * 3 * self.kernel_size[0] * self.kernel_size[1],
+            kernel_size=self.kernel_size, stride=_pair(self.stride),
+            padding=_pair(self.padding), bias=True)
+        self.init_offset()
+
+    def init_offset(self):
+        self.conv_offset_mask.weight.data.zero_()
+        self.conv_offset_mask.bias.data.zero_()
+
+    def forward(self, x):
+        out = self.conv_offset_mask(x)
+        o1, o2, mask = torch.chunk(out, 3, dim=1)
+        offset = torch.cat((o1, o2), dim=1)
+        mask = torch.sigmoid(mask)
+        return modulated_deform_conv(
+            x, offset, mask, self.weight, self.bias, self.stride,
+            self.padding, self.dilation, self.groups, self.deformable_groups)
+
+
+class DeformConv(nn.Module):
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding=0, dilation=1, groups=1, deformable_groups=1,
+                 bias=False):
+        super().__init__()
+        assert not bias
+        self.in_channels = in_channels
+        self.kernel_size = _pair(kernel_size)
+        self.stride = _pair(stride)
+        self.padding = _pair(padding)
+        self.dilation = _pair(dilation)
+        self.groups = groups
+        self.deformable_groups = deformable_groups
+        self.weight = nn.Parameter(torch.Tensor(
+            out_channels, in_channels // groups, *self.kernel_size))
+        n = in_channels * self.kernel_size[0] * self.kernel_size[1]
+        self.weight.data.uniform_(-1.0 / n ** 0.5, 1.0 / n ** 0.5)
+
+    def forward(self, x, offset):
+        return deform_conv(x, offset, self.weight, self.stride, self.padding,
+                           self.dilation, self.groups, self.deformable_groups)
+
+
+def _torchvision_deform_conv2d(input, offset, weight, bias=None, stride=(1, 1),
+                               padding=(0, 0), dilation=(1, 1), mask=None):
+    """torchvision.ops.deform_conv2d shim (same (dy,dx)-interleaved layout)."""
+    kh, kw = weight.shape[2], weight.shape[3]
+    dg = offset.shape[1] // (2 * kh * kw)
+    groups = input.shape[1] // weight.shape[1]
+    return modulated_deform_conv(input, offset, mask, weight, bias,
+                                 _pair(stride), _pair(padding),
+                                 _pair(dilation), groups, dg)
+
+
+# ---------------------------------------------------------------------------
+# module shims + import
+# ---------------------------------------------------------------------------
+
+def _install_shims():
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        timm_models = types.ModuleType("timm.models")
+        layers = types.ModuleType("timm.models.layers")
+
+        def to_2tuple(v):
+            return v if isinstance(v, tuple) else (v, v)
+
+        def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+            with torch.no_grad():
+                tensor.normal_(mean, std).clamp_(a * std, b * std)
+            return tensor
+
+        class DropPath(nn.Module):
+            def __init__(self, drop_prob=None):
+                super().__init__()
+
+            def forward(self, x):
+                return x
+
+        layers.DropPath = DropPath
+        layers.to_2tuple = to_2tuple
+        layers.trunc_normal_ = trunc_normal_
+        timm.models = timm_models
+        timm_models.layers = layers
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = timm_models
+        sys.modules["timm.models.layers"] = layers
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_ops = types.ModuleType("torchvision.ops")
+        tv_ops.deform_conv2d = _torchvision_deform_conv2d
+        tv_utils = types.ModuleType("torchvision.utils")
+        tv_utils.save_image = lambda *a, **k: None
+        tv_datasets = types.ModuleType("torchvision.datasets")
+        tv_transforms = types.ModuleType("torchvision.transforms")
+        tv.ops = tv_ops
+        tv.utils = tv_utils
+        tv.datasets = tv_datasets
+        tv.transforms = tv_transforms
+        for name, m in [("torchvision", tv), ("torchvision.ops", tv_ops),
+                        ("torchvision.utils", tv_utils),
+                        ("torchvision.datasets", tv_datasets),
+                        ("torchvision.transforms", tv_transforms)]:
+            sys.modules[name] = m
+
+    if "arch" not in sys.modules:
+        arch = types.ModuleType("arch")
+        arch.__path__ = []
+        arch_ops = types.ModuleType("arch.ops")
+        arch_ops.__path__ = []
+        dcn = types.ModuleType("arch.ops.dcn")
+        dcn.ModulatedDeformConvPack = ModulatedDeformConvPack
+        dcn.ModulatedDeformConv = ModulatedDeformConv
+        dcn.DeformConv = DeformConv
+        dcn.modulated_deform_conv = modulated_deform_conv
+        dcn.deform_conv = deform_conv
+        sys.modules["arch"] = arch
+        sys.modules["arch.ops"] = arch_ops
+        sys.modules["arch.ops.dcn"] = dcn
+
+    # hardcoded GPU pinning no-ops (`SIDECVSR_our.py:212,2073,2161`)
+    nn.Module.cuda = lambda self, *a, **k: self
+    if not getattr(torch.Tensor, "_cdfo_to_patched", False):
+        _orig_to = torch.Tensor.to
+
+        def _to(self, *args, **kwargs):
+            args = tuple(
+                "cpu" if (isinstance(a, (str, torch.device))
+                          and "cuda" in str(a)) else a
+                for a in args)
+            if "device" in kwargs and "cuda" in str(kwargs["device"]):
+                kwargs["device"] = "cpu"
+            return _orig_to(self, *args, **kwargs)
+
+        _to._cdfo_patch = True
+        torch.Tensor.to = _to
+        torch.Tensor._cdfo_to_patched = True
+    _orig_tensor_cuda = getattr(torch.Tensor, "cuda", None)
+    torch.Tensor.cuda = lambda self, *a, **k: self
+
+
+_REF = None
+
+
+def load_ref():
+    """Import the reference model file once; return the module."""
+    global _REF
+    if _REF is not None:
+        return _REF
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    _install_shims()
+    spec = importlib.util.spec_from_file_location("ref_sidecvsr", REF_ARCH)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_sidecvsr"] = mod
+    spec.loader.exec_module(mod)
+    # broken-path feature dumps (`:1255`) -> no-op
+    mod.featuremap_visual = lambda *a, **k: None
+    mod.featuremap_visual_0 = lambda *a, **k: None
+    # `ModulatedDeformConv` used without import at `:80` (SURVEY §0.3)
+    mod.ModulatedDeformConv = ModulatedDeformConv
+    _REF = mod
+    return mod
+
+
+def make_gumbel_deterministic(mod):
+    """Replace every class's gumbel_softmax with the noise-free softmax
+    (g=0 in `SIDECVSR_our.py:2168-2177`) == our EGLA mask_mode='expected'."""
+    def det(self, x, dim, tau):
+        return (x / tau).softmax(dim)
+
+    for name in dir(mod):
+        obj = getattr(mod, name)
+        if isinstance(obj, type) and "gumbel_softmax" in vars(obj):
+            obj.gumbel_softmax = det
+
+
+# ---------------------------------------------------------------------------
+# layout adapters (torch NCHW <-> our NHWC)
+# ---------------------------------------------------------------------------
+
+def to_torch_nchw(a):  # (B,...,H,W,C) -> (B,...,C,H,W)
+    a = np.asarray(a)
+    perm = list(range(a.ndim - 3)) + [a.ndim - 1, a.ndim - 3, a.ndim - 2]
+    return torch.from_numpy(np.ascontiguousarray(a.transpose(perm)))
+
+
+def to_np_nhwc(t):  # torch (B,...,C,H,W) -> numpy (B,...,H,W,C)
+    a = t.detach().cpu().numpy()
+    perm = list(range(a.ndim - 3)) + [a.ndim - 2, a.ndim - 1, a.ndim - 3]
+    return np.ascontiguousarray(a.transpose(perm))

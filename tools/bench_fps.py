@@ -1,8 +1,8 @@
 #!/usr/bin/env python
 """Multi-sequence FPS harness — `test_LD_22_FPS.py` semantics: per-sequence
-frames / sum(forward-only time), streaming cache, three geometry classes
-(PeopleOnStreet 640x400 -> 2560x1600, Johnny 320x184 -> 1280x720,
-Kimono1 480x272 -> 1920x1080).
+frames / sum(forward-only time) with frame 0 included (`:185-192`),
+streaming cache, three geometry classes (PeopleOnStreet 640x400 ->
+2560x1600, Johnny 320x184 -> 1280x720, Kimono1 480x272 -> 1920x1080).
 
 With --data-root, runs real sequences; otherwise synthetic data at the same
 geometries (compute-identical; the reference excludes I/O from the timer
@@ -26,19 +26,24 @@ GEOMETRIES = {
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--frames", default=10, type=int)
+    p.add_argument("--frames", default=32, type=int)
+    p.add_argument("--k", default=4, type=int, help="centers per dispatch")
     p.add_argument("--data-root", default="")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--fp32", dest="bf16", action="store_false")
+    p.add_argument("--no-fused-trunk", dest="fused", action="store_false",
+                   default=True)
     args = p.parse_args()
 
     import jax
     from cdfo_tpu.config import ModelConfig
     from cdfo_tpu.models import CVSRV8
-    from cdfo_tpu.infer.pipeline import StreamingInferencer, synthetic_sequence
+    from cdfo_tpu.infer.engine import BatchedStreamingEngine
+    from cdfo_tpu.infer.pipeline import synthetic_sequence
 
     dt = jax.numpy.bfloat16 if args.bf16 else jax.numpy.float32
-    model = CVSRV8(ModelConfig(mask_mode="expected", compute_dtype=dt))
+    model = CVSRV8(ModelConfig(mask_mode="expected", compute_dtype=dt,
+                               fused_trunk=args.fused))
 
     results = {}
     for name, (h, w) in GEOMETRIES.items():
@@ -47,9 +52,9 @@ def main():
         dmv = np.zeros((1, 7, h, w, 2), np.float32)
         params = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dmv, dmv,
                                      dummy, dummy, dummy)
-        inf = StreamingInferencer(model, params)
-        inf.run_sequence(data)  # compile
-        _, fps = inf.run_sequence(data, collect_timing=True)
+        eng = BatchedStreamingEngine(model, params, k=args.k)
+        eng.run_sequence(synthetic_sequence(t=2 * args.k, h=h, w=w, seed=1))
+        _, fps = eng.run_sequence(data, collect_timing=True)
         results[name] = round(float(fps), 3)
         print(f"{name}: {fps:.3f} fps")
     print(json.dumps({"metric": "fps_by_sequence", "value": results}))
