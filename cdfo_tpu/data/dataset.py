@@ -2,10 +2,10 @@
 
 Reimplements the reference pipeline (`opt/data_LD_bi.py`) TPU-first:
 
-* the RAM preload of uint8/int8 arrays (`:55-134`) becomes an on-disk packed
-  cache (one .npz of exactly those arrays) built once and memory-mapped on
-  subsequent runs — same numerics (incl. the int8 MV clip `:91`), minutes
-  -> seconds startup;
+* the RAM preload of uint8/int8 arrays (`:55-134`) becomes an on-disk cache
+  directory of per-array .npy files, built STREAMING (one sequence in RAM
+  at a time) and loaded as true memmaps — same numerics (incl. the int8 MV
+  clip `:91`); the real 579-sequence ~50 GB set never has to fit in RAM;
 * the per-sample transform chain RandomCrop(64) -> Augment -> ToTensor
   (`train_LD_37.py:303`) becomes a vectorised numpy batcher producing
   NHWC model-ready batches (crop, flip/rot with MV sign fixups, center-MV
@@ -49,26 +49,26 @@ class CVCPDataset:
         seq_names = seq_names[host_id::num_hosts]
         self.seq_names = seq_names
 
-        if cache_path and os.path.exists(cache_path):
-            z = np.load(cache_path, mmap_mode="r")
-            self.lr, self.hr, self.pm, self.rm, self.uf = (
-                z["lr"], z["hr"], z["pm"], z["rm"], z["uf"])
-            self.mv0, self.mv1 = z["mv0"], z["mv1"]
+        arrays = ("lr", "hr", "pm", "rm", "uf", "mv0", "mv1", "qp")
+        if cache_path and os.path.isdir(cache_path) and os.path.exists(
+                os.path.join(cache_path, "DONE")):
+            # per-array .npy memmaps: TRUE mmap_mode (npz members decompress
+            # into RAM on access — the round-1 cache's mmap claim was wrong)
+            for name in arrays:
+                setattr(self, name, np.load(
+                    os.path.join(cache_path, name + ".npy"), mmap_mode="r"))
             return
 
-        n = len(seq_names)
-        h, w = None, None
-        lr_list, hr_list, pm_list, rm_list, uf_list, mv0_list, mv1_list = (
-            [], [], [], [], [], [], [])
-        for seq in seq_names:
+        def load_seq(seq):
             lr_dir = os.path.join(root, "Decoded_LR", c, f"QP{qp}",
                                   f"{c}_{seq}_32F_QP{qp}.yuv")
             hr_dir = os.path.join(root, "Uncompressed_HR", seq)
             pri = os.path.join(root, "Coding_Priors", c, f"QP{qp}",
                                f"{c}_{seq}_32F_QP{qp}.priors")
             unf = os.path.join(root, f"pred_unfiltered_{c}", f"QP{qp}",
-                               f"{c}_{seq}_32F_QP{qp}.priors", "pred_unfiltered")
-            lrs, hrs, pms, rms, ufs, mv0s, mv1s = [], [], [], [], [], [], []
+                               f"{c}_{seq}_32F_QP{qp}.priors",
+                               "pred_unfiltered")
+            lrs, hrs, pms, rms, ufs, mv0s, mv1s = ([], [], [], [], [], [], [])
             for f_i in range(t):
                 idx = "%05d" % f_i
                 lrs.append(read_gray(os.path.join(lr_dir, idx + ".png")))
@@ -86,24 +86,53 @@ class CVCPDataset:
                 mv1s.append(np.clip(
                     np.load(os.path.join(pri, "MV_l1", idx + "_mvl1.npy")),
                     -128, 127).astype(np.int8))
-            lr_list.append(np.stack(lrs))
-            hr_list.append(np.stack(hrs))
-            pm_list.append(np.stack(pms))
-            rm_list.append(np.stack(rms))
-            uf_list.append(np.stack(ufs))
-            mv0_list.append(np.stack(mv0s))
-            mv1_list.append(np.stack(mv1s))
-        self.lr = np.stack(lr_list)    # (S, T, H, W) uint8
-        self.hr = np.stack(hr_list)    # (S, T, 4H, 4W) uint8
-        self.pm = np.stack(pm_list)
-        self.rm = np.stack(rm_list)    # int8
-        self.uf = np.stack(uf_list)
-        self.mv0 = np.stack(mv0_list)  # (S, T, H, W, 3) int8
-        self.mv1 = np.stack(mv1_list)
+            # per-sequence QP vector: the reference allocates a per-frame QP
+            # buffer and ToTensor scales it /52 (`opt/data_LD_bi.py:61,350`);
+            # its loader line is commented out, so missing files mean zeros
+            qp_file = os.path.join(pri, f"{c}_{seq}_4_QP_v.npy")
+            if os.path.exists(qp_file):
+                qpv = np.asarray(np.load(qp_file)).reshape(-1)[:t]
+                qpv = np.pad(qpv, (0, t - qpv.size)).astype(np.int8)
+            else:
+                qpv = np.zeros(t, np.int8)
+            return (np.stack(lrs), np.stack(hrs), np.stack(pms),
+                    np.stack(rms), np.stack(ufs), np.stack(mv0s),
+                    np.stack(mv1s), qpv)
+
+        n_seq = len(seq_names)
+        first = load_seq(seq_names[0])
         if cache_path:
-            os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
-            np.savez(cache_path, lr=self.lr, hr=self.hr, pm=self.pm,
-                     rm=self.rm, uf=self.uf, mv0=self.mv0, mv1=self.mv1)
+            # streaming build: allocate on-disk memmaps from sequence 0's
+            # shapes and fill one sequence at a time (never holds more than
+            # one sequence in RAM — the real CVCP set is ~50 GB)
+            os.makedirs(cache_path, exist_ok=True)
+            mms = []
+            for name, a in zip(arrays, first):
+                mm = np.lib.format.open_memmap(
+                    os.path.join(cache_path, name + ".npy"), mode="w+",
+                    dtype=a.dtype, shape=(n_seq,) + a.shape)
+                mm[0] = a
+                mms.append(mm)
+            for si in range(1, n_seq):
+                for mm, a in zip(mms, load_seq(seq_names[si])):
+                    mm[si] = a
+            for mm in mms:
+                mm.flush()
+            with open(os.path.join(cache_path, "DONE"), "w") as f:
+                f.write("ok")
+            del mms
+            for name in arrays:
+                setattr(self, name, np.load(
+                    os.path.join(cache_path, name + ".npy"), mmap_mode="r"))
+            return
+
+        # no cache: hold in RAM (tests / small subsets)
+        stacks = [[a] for a in first]
+        for si in range(1, n_seq):
+            for lst, a in zip(stacks, load_seq(seq_names[si])):
+                lst.append(a)
+        (self.lr, self.hr, self.pm, self.rm, self.uf, self.mv0, self.mv1,
+         self.qp) = [np.stack(lst) for lst in stacks]
 
     def __len__(self):
         return self.lr.shape[0]
@@ -179,9 +208,13 @@ class TrainBatcher:
         ufs = np.empty_like(lrs)
         mv0s = np.empty((b, n, cr, cr, 2), np.float32)
         mv1s = np.empty((b, n, cr, cr, 2), np.float32)
+        qps = np.empty((b, n), np.float32)
         for k in range(b):
             s = r.randint(0, len(ds))
             start = r.randint(0, s_t - n + 1) if s_t > n else 0
+            # per-frame QP, /52 as the reference ToTensor does
+            # (`opt/data_LD_bi.py:218,350`)
+            qps[k] = ds.qp[s, start:start + n].astype(np.float32) / 52.0
             center = start + n // 2
             top = r.randint(0, h - cr) if h > cr else 0
             left = r.randint(0, w - cr) if w > cr else 0
@@ -226,7 +259,7 @@ class TrainBatcher:
                 mv1s[k] = (np.zeros_like(mv0s[k]) if self.zero_mvl1
                            else self._expand_center_mv(mv1))
         return {"lrs": lrs, "mvs0": mv0s, "mvs1": mv1s, "pms": pms,
-                "rms": rms, "ufs": ufs, "hr": hrs}
+                "rms": rms, "ufs": ufs, "hr": hrs, "qp": qps}
 
     def __iter__(self) -> Iterator[dict]:
         while True:

@@ -29,7 +29,27 @@ class FramePairDataset:
 
     def __init__(self, lr_root: str, hr_root: str, seq_names: Sequence[str],
                  frames_per_seq: int, layout: str = "flat",
-                 file_pattern: str = "%05d.png", first_index: int = 0):
+                 file_pattern: Optional[str] = None,
+                 first_index: Optional[int] = None):
+        if layout == "vimeo":
+            # Vimeo90K grammar (`opt/data_LD_Vimeo.py:10-40`): frames are
+            # im1.png..im7.png under <clip>/<subclip>; seq entries may be
+            # clips (expanded to every subclip) or 'clip/subclip' paths
+            file_pattern = file_pattern or "im%d.png"
+            first_index = 1 if first_index is None else first_index
+            expanded = []
+            for seq in seq_names:
+                d = os.path.join(lr_root, seq)
+                subs = sorted(s for s in os.listdir(d)
+                              if os.path.isdir(os.path.join(d, s)))
+                if subs:
+                    expanded.extend(f"{seq}/{s}" for s in subs)
+                else:
+                    expanded.append(seq)
+            seq_names = expanded
+        else:
+            file_pattern = file_pattern or "%05d.png"
+            first_index = 0 if first_index is None else first_index
         self.seqs = list(seq_names)
         self.fps = frames_per_seq
         lr_list, hr_list = [], []

@@ -164,7 +164,7 @@ class CVSRV7(nn.Module):
             fuse_fea_pyr.append(lrelu(tsa_fusion(flat)))
 
         fuse_fea_pyr = fuse_fea_pyr[::-1]  # [L1, L2, L3]
-        out = SCNetPyr(nf, 7, dtype=dt, name="recon_trunk")(fuse_fea_pyr)
+        out = SCNetPyr(nf, cfg.scn_groups, dtype=dt, name="recon_trunk")(fuse_fea_pyr)
 
         out_l3 = lrelu(Conv2d(nf, 1, 1, 0, dtype=dt, name="upconv1_L3")(out[2]))
         out_l3 = pixel_shuffle(pixel_shuffle(out_l3, 2), 2)

@@ -160,7 +160,14 @@ class ModulatedDeformConvPack(ModulatedDeformConv):
             self.deformable_groups * 3 * self.kernel_size[0] * self.kernel_size[1],
             kernel_size=self.kernel_size, stride=_pair(self.stride),
             padding=_pair(self.padding), bias=True)
-        self.init_offset()
+        # subclasses (MVDualAttAlignment `:3268-3291`) override init_offset
+        # to touch modules they create AFTER this base ctor runs — they call
+        # init_offset() again at their own ctor end, so tolerate the early
+        # dispatch (the reference would crash here with the real extension)
+        try:
+            self.init_offset()
+        except AttributeError:
+            pass
 
     def init_offset(self):
         self.conv_offset_mask.weight.data.zero_()

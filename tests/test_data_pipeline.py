@@ -25,13 +25,59 @@ def test_dataset_preload_shapes(tree):
 
 
 def test_dataset_cache_roundtrip(tree, tmp_path):
+    """Streaming-built per-array memmap cache: build -> reload -> values
+    equal the RAM loader's; arrays are TRUE memmaps (np.memmap), so the
+    real ~50 GB CVCP set never has to fit in RAM."""
     root, names = tree
     cfg = DataConfig(frames_per_seq=10)
-    cache = str(tmp_path / "cache.npz")
+    cache = str(tmp_path / "cache_dir")
+    ds_ram = CVCPDataset(root, cfg, seq_names=names)
     ds1 = CVCPDataset(root, cfg, seq_names=names, cache_path=cache)
     ds2 = CVCPDataset(root, cfg, seq_names=names, cache_path=cache)
-    np.testing.assert_array_equal(np.asarray(ds1.lr), np.asarray(ds2.lr))
-    np.testing.assert_array_equal(np.asarray(ds1.mv1), np.asarray(ds2.mv1))
+    assert isinstance(ds2.lr, np.memmap)
+    for name in ("lr", "hr", "pm", "rm", "uf", "mv0", "mv1", "qp"):
+        np.testing.assert_array_equal(np.asarray(getattr(ds_ram, name)),
+                                      np.asarray(getattr(ds2, name)))
+        np.testing.assert_array_equal(np.asarray(getattr(ds1, name)),
+                                      np.asarray(getattr(ds2, name)))
+
+
+def test_batch_has_qp_channel(tree):
+    """Per-frame QP modality (/52 — `opt/data_LD_bi.py:218,350`); zeros
+    when the QP .npy is absent, as the reference de facto serves (its
+    loader line is commented out)."""
+    root, names = tree
+    cfg = DataConfig(frames_per_seq=10)
+    ds = CVCPDataset(root, cfg, seq_names=names)
+    batch = TrainBatcher(ds, batch_size=2, crop=32).sample_batch()
+    assert batch["qp"].shape == (2, 7)
+    np.testing.assert_array_equal(batch["qp"], 0.0)
+
+
+def test_vimeo_layout(tmp_path):
+    """Vimeo90K clip/subclip grammar with im1..imN naming
+    (`opt/data_LD_Vimeo.py`)."""
+    import os
+    from cdfo_tpu.data.variants import FramePairDataset
+
+    r = np.random.RandomState(0)
+    for kind in ("lr", "hr"):
+        sc = 1 if kind == "lr" else 4
+        for clip in ("00001", "00002"):
+            for sub in ("0266", "0268"):
+                d = tmp_path / kind / clip / sub
+                os.makedirs(d)
+                for i in range(1, 8):
+                    from cdfo_tpu.data.io import write_gray
+                    write_gray(str(d / f"im{i}.png"),
+                               r.randint(0, 255, (24 * sc, 32 * sc),
+                                         dtype=np.uint8))
+    ds = FramePairDataset(str(tmp_path / "lr"), str(tmp_path / "hr"),
+                          ["00001", "00002"], frames_per_seq=7,
+                          layout="vimeo")
+    assert len(ds) == 4                      # clips expanded to subclips
+    assert ds.lr.shape == (4, 7, 24, 32)
+    assert ds.hr.shape == (4, 7, 96, 128)
 
 
 def test_batcher_shapes_and_ranges(tree):

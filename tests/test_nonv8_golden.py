@@ -1,0 +1,114 @@
+"""Golden parity for the non-V8 (DCN-era) path vs the in-tree reference:
+full CVSR_V7 and (repaired) SIDECVSR forwards, which transitively cover
+MVDualAttAlignment, RDAB, the SFT stack, MV_LOCAL_ATTN, fea_fusion and the
+pyramid SCNet trunk — replacing round 1's smoke-only coverage.
+
+The torch DCN inside comes from tests/ref_oracle.py's pure-torch
+modulated deform conv (itself cross-checked against our JAX op in
+test_golden_parity.py).
+"""
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from cdfo_tpu.compat.torch_convert import convert_state_dict
+from cdfo_tpu.config import ModelConfig
+from cdfo_tpu.models.cvsr_variants import CVSRV7, SIDECVSRModel
+
+from ref_oracle import load_ref, make_gumbel_deterministic, to_torch_nchw
+
+H = W = 16
+B, N = 1, 7
+
+
+def make_inputs(seed=0):
+    r = np.random.RandomState(seed)
+    return dict(
+        lrs=r.rand(B, N, H, W, 1).astype(np.float32),
+        mvs0=(r.randn(B, N, H, W, 2) * 1.2).astype(np.float32),
+        mvs1=(r.randn(B, N, H, W, 2) * 1.2).astype(np.float32),
+        pms=r.rand(B, N, H, W, 1).astype(np.float32),
+        rms=r.rand(B, N, H, W, 1).astype(np.float32),
+        ufs=r.rand(B, N, H, W, 1).astype(np.float32),
+    )
+
+
+def _truncate_trunk(m, groups):
+    m.recon_trunk.body = torch.nn.Sequential(
+        *list(m.recon_trunk.body)[:groups])
+
+
+def test_cvsr_v7_matches_reference():
+    ref = load_ref()
+    make_gumbel_deterministic(ref)
+    torch.manual_seed(2)
+    m = ref.CVSR_V7(SCGs=8)
+    m.eval()
+    _truncate_trunk(m, 2)
+
+    model = CVSRV7(ModelConfig(name="cvsr_v7", mask_mode="expected",
+                               scn_groups=2))
+    inp = make_inputs(3)
+    args = tuple(jnp.asarray(inp[k])
+                 for k in ("lrs", "mvs0", "mvs1", "pms", "rms", "ufs"))
+    template = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    params, report = convert_state_dict(sd, template)
+    assert report["missing"] == [], report["missing"][:10]
+
+    with torch.no_grad():
+        sr_t, l1_t = m(to_torch_nchw(inp["lrs"]), to_torch_nchw(inp["mvs0"]),
+                       to_torch_nchw(inp["mvs1"]), to_torch_nchw(inp["pms"]),
+                       to_torch_nchw(inp["rms"]), to_torch_nchw(inp["ufs"]))
+    sr_j, l1_j = jax.jit(model.apply)(params, *args)
+    np.testing.assert_allclose(np.asarray(sr_j),
+                               sr_t.numpy().transpose(0, 2, 3, 1),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_sidecvsr_matches_reference_streaming():
+    """Parity through the reference's only RUNNABLE branch.
+
+    The shipped SIDECVSR is doubly dead: ``mv_patch_attn`` is used but its
+    construction is commented out (`:4115` vs `:4180`), and the cold-path
+    feeds 1-channel pms into the 3-channel ``side_to_fea`` (`:4143` vs
+    `:1700`) — only the streaming branch (3-channel side cat, `:4147`) can
+    execute. We repair the former, seed pre_L1_fea from OUR converted
+    model's cold pass, and compare the streaming step outputs (covers the
+    3-ch embed, MV_LOCAL_ATTN, fea_fusion, pyramid trunk, fused head)."""
+    ref = load_ref()
+    make_gumbel_deterministic(ref)
+    torch.manual_seed(3)
+    m = ref.SIDECVSR(SCGs=2)
+    m.mv_patch_attn = ref.MV_LOCAL_ATTN(nf=64)
+    m.eval()
+
+    model = SIDECVSRModel(ModelConfig(name="sidecvsr", scn_groups=2,
+                                      mask_mode="expected"))
+    inp = make_inputs(4)
+    args = (jnp.asarray(inp["lrs"]), jnp.asarray(inp["mvs1"]),
+            jnp.asarray(inp["pms"]), jnp.asarray(inp["rms"]),
+            jnp.asarray(inp["ufs"]))
+    template = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    params, report = convert_state_dict(sd, template)
+    assert report["missing"] == [], report["missing"][:10]
+
+    _, l1_j = jax.jit(model.apply)(params, *args)
+    l1_t = torch.from_numpy(
+        np.asarray(l1_j).transpose(0, 1, 4, 2, 3).reshape(B * N, -1, H, W))
+
+    inp2 = make_inputs(5)
+    args2 = (jnp.asarray(inp2["lrs"]), jnp.asarray(inp2["mvs1"]),
+             jnp.asarray(inp2["pms"]), jnp.asarray(inp2["rms"]),
+             jnp.asarray(inp2["ufs"]))
+    with torch.no_grad():
+        sr_t, _ = m(to_torch_nchw(inp2["lrs"]), to_torch_nchw(inp2["mvs1"]),
+                    to_torch_nchw(inp2["pms"]), to_torch_nchw(inp2["rms"]),
+                    to_torch_nchw(inp2["ufs"]), pre_L1_fea=l1_t)
+    sr_j, _ = jax.jit(model.apply)(params, *args2, pre_l1=l1_j)
+    np.testing.assert_allclose(np.asarray(sr_j),
+                               sr_t.numpy().transpose(0, 2, 3, 1),
+                               atol=5e-4, rtol=1e-3)
