@@ -30,6 +30,7 @@ VGG16_TAPS = (1, 3, 6, 9, 12)
 VGG16_CHS = (64, 128, 256, 512, 512)
 
 ALEX_CHS = (64, 192, 384, 256, 256)
+SQUEEZE_CHS = (64, 128, 256, 384, 384, 512, 512)
 
 
 class VGG16Features(nn.Module):
@@ -71,6 +72,52 @@ class AlexNetFeatures(nn.Module):
         return taps
 
 
+class _Fire(nn.Module):
+    """SqueezeNet Fire: squeeze 1x1 -> relu -> (expand1x1 | expand3x3) ->
+    relu -> concat (torchvision squeezenet1_1 building block)."""
+
+    squeeze: int
+    expand: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = jax.nn.relu(nn.Conv(self.squeeze, (1, 1), dtype=self.dtype,
+                                param_dtype=jnp.float32, name="squeeze")(x))
+        e1 = jax.nn.relu(nn.Conv(self.expand, (1, 1), dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="expand1")(x))
+        e3 = jax.nn.relu(nn.Conv(self.expand, (3, 3), padding=1,
+                                 dtype=self.dtype, param_dtype=jnp.float32,
+                                 name="expand3")(x))
+        return jnp.concatenate([e1, e3], axis=-1)
+
+
+class SqueezeNetFeatures(nn.Module):
+    """torchvision squeezenet1_1 feature trunk with the 7 LPIPS taps
+    (`opt/lpips/pretrained_networks.py:5-54` slicing)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        taps = []
+        x = jax.nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), padding=0,
+                                dtype=self.dtype, param_dtype=jnp.float32,
+                                name="conv0")(x))
+        taps.append(x)                                   # relu1
+        fire_specs = [(16, 64), (16, 64), (32, 128), (32, 128),
+                      (48, 192), (48, 192), (64, 256), (64, 256)]
+        pools_before = {0, 2, 4}   # maxpool before fires 3, 6, 9 (tv idx)
+        tap_after = {1, 3, 4, 5, 6, 7}
+        for i, (sq, ex) in enumerate(fire_specs):
+            if i in pools_before:
+                x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            x = _Fire(sq, ex, dtype=self.dtype, name=f"fire{i}")(x)
+            if i in tap_after:
+                taps.append(x)
+        return taps  # 7 taps: relu1, fire4, fire7, fire9, fire10-12
+
+
 def _unit_normalize(x, eps=1e-10):
     n = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
     return x / (n + eps)
@@ -94,12 +141,13 @@ class LPIPS(nn.Module):
         scale = jnp.asarray(_SCALE)
         x = (x - shift) / scale
         y = (y - shift) / scale
-        trunk = (VGG16Features(dtype=self.dtype, name="net")
-                 if self.net == "vgg"
-                 else AlexNetFeatures(dtype=self.dtype, name="net"))
+        trunk = {"vgg": VGG16Features, "alex": AlexNetFeatures,
+                 "squeeze": SqueezeNetFeatures}[self.net](
+            dtype=self.dtype, name="net")
         fx = trunk(x)
         fy = trunk(y)
-        chs = VGG16_CHS if self.net == "vgg" else ALEX_CHS
+        chs = {"vgg": VGG16_CHS, "alex": ALEX_CHS,
+               "squeeze": SQUEEZE_CHS}[self.net]
         total = 0.0
         for i, (a, b) in enumerate(zip(fx, fy)):
             d = jnp.square(_unit_normalize(a) - _unit_normalize(b))
@@ -134,7 +182,7 @@ def load_torch_weights(params, backbone_path: Optional[str] = None,
             p["net"][name]["bias"] = sd[bk].numpy()
     if heads_path:
         sd = torch.load(heads_path, map_location="cpu", weights_only=True)
-        for i in range(5):
+        for i in range(7 if net == "squeeze" else 5):
             key = f"lin{i}.model.1.weight"
             if key in sd:
                 p[f"lin{i}"]["kernel"] = sd[key].numpy().transpose(2, 3, 1, 0)

@@ -218,6 +218,74 @@ def _torchvision_deform_conv2d(input, offset, weight, bias=None, stride=(1, 1),
 
 
 # ---------------------------------------------------------------------------
+# torchvision.models shims (architecture-only; pretrained weights are not
+# available in this environment — callers must use pretrained=False, which
+# is exactly what the LPIPS oracle tests do via pnet_rand=True)
+# ---------------------------------------------------------------------------
+
+
+class _TVNet(nn.Module):
+    def __init__(self, features):
+        super().__init__()
+        self.features = features
+
+
+def _tv_vgg16(pretrained=False, **kw):
+    assert not pretrained, "no pretrained weights in this environment"
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512, "M"]
+    layers, cin = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers += [nn.Conv2d(cin, v, 3, padding=1), nn.ReLU(True)]
+            cin = v
+    return _TVNet(nn.Sequential(*layers))
+
+
+def _tv_alexnet(pretrained=False, **kw):
+    assert not pretrained, "no pretrained weights in this environment"
+    layers = [
+        nn.Conv2d(3, 64, 11, 4, 2), nn.ReLU(True), nn.MaxPool2d(3, 2),
+        nn.Conv2d(64, 192, 5, padding=2), nn.ReLU(True), nn.MaxPool2d(3, 2),
+        nn.Conv2d(192, 384, 3, padding=1), nn.ReLU(True),
+        nn.Conv2d(384, 256, 3, padding=1), nn.ReLU(True),
+        nn.Conv2d(256, 256, 3, padding=1), nn.ReLU(True),
+    ]
+    return _TVNet(nn.Sequential(*layers))
+
+
+class _TVFire(nn.Module):
+    def __init__(self, cin, squeeze, expand):
+        super().__init__()
+        self.squeeze = nn.Conv2d(cin, squeeze, 1)
+        self.squeeze_activation = nn.ReLU(True)
+        self.expand1x1 = nn.Conv2d(squeeze, expand, 1)
+        self.expand1x1_activation = nn.ReLU(True)
+        self.expand3x3 = nn.Conv2d(squeeze, expand, 3, padding=1)
+        self.expand3x3_activation = nn.ReLU(True)
+
+    def forward(self, x):
+        x = self.squeeze_activation(self.squeeze(x))
+        return torch.cat([
+            self.expand1x1_activation(self.expand1x1(x)),
+            self.expand3x3_activation(self.expand3x3(x))], 1)
+
+
+def _tv_squeezenet1_1(pretrained=False, **kw):
+    assert not pretrained, "no pretrained weights in this environment"
+    layers = [
+        nn.Conv2d(3, 64, 3, stride=2), nn.ReLU(True),
+        nn.MaxPool2d(3, 2), _TVFire(64, 16, 64), _TVFire(128, 16, 64),
+        nn.MaxPool2d(3, 2), _TVFire(128, 32, 128), _TVFire(256, 32, 128),
+        nn.MaxPool2d(3, 2), _TVFire(256, 48, 192), _TVFire(384, 48, 192),
+        _TVFire(384, 64, 256), _TVFire(512, 64, 256),
+    ]
+    return _TVNet(nn.Sequential(*layers))
+
+
+# ---------------------------------------------------------------------------
 # module shims + import
 # ---------------------------------------------------------------------------
 
@@ -259,14 +327,20 @@ def _install_shims():
         tv_utils.save_image = lambda *a, **k: None
         tv_datasets = types.ModuleType("torchvision.datasets")
         tv_transforms = types.ModuleType("torchvision.transforms")
+        tv_models = types.ModuleType("torchvision.models")
+        tv_models.vgg16 = _tv_vgg16
+        tv_models.alexnet = _tv_alexnet
+        tv_models.squeezenet1_1 = _tv_squeezenet1_1
         tv.ops = tv_ops
         tv.utils = tv_utils
         tv.datasets = tv_datasets
         tv.transforms = tv_transforms
+        tv.models = tv_models
         for name, m in [("torchvision", tv), ("torchvision.ops", tv_ops),
                         ("torchvision.utils", tv_utils),
                         ("torchvision.datasets", tv_datasets),
-                        ("torchvision.transforms", tv_transforms)]:
+                        ("torchvision.transforms", tv_transforms),
+                        ("torchvision.models", tv_models)]:
             sys.modules[name] = m
 
     if "arch" not in sys.modules:
