@@ -89,8 +89,19 @@ class _SubpixelUp2(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, layout: str = "nhwc"):
         kernel, bias = _Conv1x1Params(self.nf, self.nf * 4, name="conv")()
+        if layout == "hcw":
+            # row-major path: 1x1 conv = channel einsum (W stays in lanes),
+            # PixelShuffle = (c dy dx) channel split interleaved into rows
+            # and lanes — torch channel order c*4 + dy*2 + dx
+            b_, h, c, w = x.shape
+            k = kernel[0, 0].astype(self.dtype)            # (nf, 4nf)
+            y = jnp.einsum("bhcw,co->bhow", x, k) + bias.astype(
+                self.dtype)[None, None, :, None]
+            y = y.reshape(b_, h, self.nf, 2, 2, w)          # c, dy, dx
+            y = y.transpose(0, 1, 3, 2, 5, 4)               # b h dy c w dx
+            return y.reshape(b_, 2 * h, self.nf, 2 * w)
         wk = kernel[0, 0].reshape(self.nf, self.nf, 2, 2)  # in, c, dy, dx
         k = wk[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)     # ky=1-dy, kx=1-dx
         y = jax.lax.conv_general_dilated(
@@ -144,7 +155,15 @@ class CVSRV8(nn.Module):
                                       name="recon_trunk")
         self.upconv1 = _SubpixelUp2(cfg.nf, dtype=dt, name="upconv1")
         self.upconv2 = _SubpixelUp2(cfg.nf, dtype=dt, name="upconv2")
-        self.conv_last = Conv2d(1, 3, 1, 1, dtype=dt, name="conv_last")
+        if cfg.fused_trunk:
+            # raw params (same tree path) — the head runs in HCW layout,
+            # conv_last as a dual-form einsum (see _reconstruct)
+            from .trunk_fast import _ConvParams
+            self.conv_last_p = _ConvParams(3, 3, cfg.nf, 1,
+                                           scaled_init=False,
+                                           name="conv_last")
+        else:
+            self.conv_last = Conv2d(1, 3, 1, 1, dtype=dt, name="conv_last")
         self.mv_deform_align = DualAttAlignment(
             cfg.nf, cfg.align_heads, use_mv=cfg.use_mv, use_pd=cfg.use_pd,
             dtype=dt, name="MV_deform_align")
@@ -200,14 +219,32 @@ class CVSRV8(nn.Module):
 
         aligned_fea (B, N, H, W, nf), center_lr (B, H, W, 1) -> SR fp32.
         """
+        cfg = self.cfg
+        dt = cfg.compute_dtype
         fused = lrelu(self._tsa(aligned_fea))
+        if cfg.fused_trunk:
+            # trunk exits in row-major (H, C, W); the whole head stays there
+            # (NHWC C=64 activations half-fill bf16 (16,128) vregs — both
+            # compute AND memory run ~2x slower; measured in BENCH_NOTES)
+            from .trunk_fast import _conv3x3_hcw
+
+            out = self.recon_trunk(fused, out_layout="hcw")
+            out = lrelu(self.upconv1(out, layout="hcw"))
+            out = lrelu(self.upconv2(out, layout="hcw"))
+            kl, bl = self.conv_last_p()
+            out = _conv3x3_hcw(out, kl, bl, dt)          # (B, 4H, 1, 4W)
+            b_, h4, _, w4 = out.shape
+            base = interpolate_bilinear(center_lr.astype(dt),
+                                        scale_factor=float(cfg.scale))
+            # C=1: (B,4H,1,4W) <-> (B,4H,4W,1) is a pure reshape
+            sr = out.reshape(b_, h4, w4, 1) + base
+            return sr.astype(jnp.float32)
         out = self.recon_trunk(fused)
         out = lrelu(self.upconv1(out))
         out = lrelu(self.upconv2(out))
         out = self.conv_last(out)
         base = interpolate_bilinear(
-            center_lr.astype(self.cfg.compute_dtype),
-            scale_factor=float(self.cfg.scale))
+            center_lr.astype(dt), scale_factor=float(cfg.scale))
         return (out + base).astype(jnp.float32)
 
     # ------------------------------------------------------------------

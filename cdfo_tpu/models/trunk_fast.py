@@ -179,11 +179,13 @@ class SCNetFast(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_nhwc):
+    def __call__(self, x_nhwc, out_layout: str = "nhwc"):
         dt = self.dtype
         t = jnp.transpose(x_nhwc.astype(dt), (0, 1, 3, 2))  # (B, H, C, W)
         r = t
         for i in range(self.num_groups):
             r = _GroupFast(self.nf, dt, name=f"body_{i}")(r)
         out = t + r
+        if out_layout == "hcw":
+            return out
         return jnp.transpose(out, (0, 1, 3, 2))
