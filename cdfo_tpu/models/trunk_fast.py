@@ -27,6 +27,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.fused_block import block_body_hcw, dual_weights
+from ..ops.fused_block2 import fold_down_conv2, scale_block_hcw
 from ..ops.resize import _resize_axis_down_half, _resize_axis_up_int
 from .layers import scaled_kaiming_normal, torch_bias_init, torch_conv_kernel_init
 
@@ -126,6 +127,12 @@ def _up(t):
 
 
 class _BlockFast(nn.Module):
+    """Block_ with the 1x body + the whole 2x branch in ONE fused Pallas
+    kernel (``ops/fused_block2.py``): the 2x intermediates never touch HBM
+    and ``down . conv2`` is algebraically folded to 4/9 the FLOPs. Only the
+    0.5x branch (1/16 the FLOPs) stays on the XLA + single-body-kernel
+    path; its result feeds the fused kernel as the ``extra`` addend."""
+
     nf: int = 64
     dtype: Dtype = jnp.float32
 
@@ -138,22 +145,29 @@ class _BlockFast(nn.Module):
         ku, bu = _ConvParams(1, 1, nf, nf, name="up_0")()
         w1d = dual_weights(k0).astype(dt)
         w2d = dual_weights(k2).astype(dt)
+        w2f = fold_down_conv2(k2).astype(dt)
         b1c = b0.reshape(-1, 1).astype(dt)
         b2c = b2.reshape(-1, 1).astype(dt)
 
-        def body(t):
-            return _body(t, w1d, b1c, w2d, b2c)
+        # 0.5x branch; the 1x1 convs commute with the bilinear resizes
+        # (channel-only vs spatial-only linear maps), running at the
+        # small geometry.
+        dn = _body(_down(_conv1x1(x, kd, bd, dt)), w1d, b1c, w2d, b2c)
+        extra = _up(_conv1x1(dn, ku, bu, dt))
 
-        # 1x branch takes the in-kernel residual (x + body(x)); the 1x1
-        # convs commute with the bilinear resizes (channel-only vs
-        # spatial-only linear maps), letting both pyramid branches run
-        # their 1x1 at the SMALL geometry.
-        xr = _body(x, w1d, b1c, w2d, b2c, residual=True)
-        down_res = _up(_conv1x1(body(_down(_conv1x1(x, kd, bd, dt))),
-                                ku, bu, dt))
-        up_res = _conv1x1(_down(body(_up(_conv1x1(x, ku, bu, dt)))),
-                          kd, bd, dt)
-        return xr + down_res + up_res
+        _, h, _, w = x.shape
+        wt, wp = _pick_tiles(w)
+        rows = 16
+        rpad = (-h) % rows
+        tp = jnp.pad(x, ((0, 0), (2, 2), (0, 0), (2, 2)), mode="edge")
+        tp = jnp.pad(tp, ((0, 0), (0, rpad), (0, 0), (0, 124 + wp - w)))
+        ex = jnp.pad(extra, ((0, 0), (0, rpad), (0, 0), (0, wp - w)))
+        out = scale_block_hcw(
+            tp, ex, w1d, b1c, w2d, b2c, w2f,
+            ku[0, 0].astype(dt), bu.reshape(-1, 1).astype(dt),
+            kd[0, 0].astype(dt), bd.reshape(-1, 1).astype(dt),
+            img_h=h, img_w=w, rows=rows, wt=wt)
+        return out[:, :h, :, :w]
 
 
 class _GroupFast(nn.Module):
