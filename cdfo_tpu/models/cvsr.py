@@ -88,9 +88,15 @@ class _SubpixelUp2(nn.Module):
     nf: int
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self._conv = _Conv1x1Params(self.nf, self.nf * 4, name="conv")
+
+    def raw(self):
+        """Raw (kernel, bias) for the fused-head kernel path."""
+        return self._conv()
+
     def __call__(self, x, layout: str = "nhwc"):
-        kernel, bias = _Conv1x1Params(self.nf, self.nf * 4, name="conv")()
+        kernel, bias = self._conv()
         if layout == "hcw":
             # row-major path: 1x1 conv = channel einsum (W stays in lanes),
             # PixelShuffle = (c dy dx) channel split interleaved into rows
@@ -220,26 +226,31 @@ class CVSRV8(nn.Module):
         aligned_fea (B, N, H, W, nf), center_lr (B, H, W, 1) -> SR fp32.
         """
         cfg = self.cfg
-        dt = cfg.compute_dtype
         fused = lrelu(self._tsa(aligned_fea))
         if cfg.fused_trunk:
-            # trunk exits in row-major (H, C, W); the whole head stays there
-            # (NHWC C=64 activations half-fill bf16 (16,128) vregs — both
-            # compute AND memory run ~2x slower; measured in BENCH_NOTES)
-            from .trunk_fast import _conv3x3_hcw
-
             out = self.recon_trunk(fused, out_layout="hcw")
-            out = lrelu(self.upconv1(out, layout="hcw"))
-            out = lrelu(self.upconv2(out, layout="hcw"))
-            kl, bl = self.conv_last_p()
-            out = _conv3x3_hcw(out, kl, bl, dt)          # (B, 4H, 1, 4W)
-            b_, h4, _, w4 = out.shape
-            base = interpolate_bilinear(center_lr.astype(dt),
-                                        scale_factor=float(cfg.scale))
-            # C=1: (B,4H,1,4W) <-> (B,4H,4W,1) is a pure reshape
-            sr = out.reshape(b_, h4, w4, 1) + base
-            return sr.astype(jnp.float32)
+            return self.head_from_trunk(out, center_lr)
         out = self.recon_trunk(fused)
+        return self.head_from_trunk(out, center_lr)
+
+    def head_from_trunk(self, out, center_lr):
+        """Upsample head: 2x subpixel stages + conv_last + bilinear base.
+
+        ``out`` is the trunk output — row-major (B, H, C, W) on the
+        fused-trunk path (the whole head stays in that layout: NHWC C=64
+        activations half-fill bf16 (16,128) vregs, measured ~2x slower
+        for both compute and memory — BENCH_NOTES), NHWC otherwise.
+        """
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        if cfg.fused_trunk:
+            from ..ops.fused_head import fused_head
+
+            k1, b1 = self.upconv1.raw()
+            k2, b2 = self.upconv2.raw()
+            kl, bl = self.conv_last_p()
+            return fused_head(out, center_lr.astype(dt),
+                              k1, b1, k2, b2, kl, bl)
         out = lrelu(self.upconv1(out))
         out = lrelu(self.upconv2(out))
         out = self.conv_last(out)

@@ -176,13 +176,24 @@ class _GroupFast(nn.Module):
 
     @nn.compact
     def __call__(self, t):
+        from ..ops.fused_groupconv import conv3x3_residual_hcw
+
         g = t
         for j in range(3):
             g = _BlockFast(self.nf, dtype=self.dtype, name=f"body_{j}")(g)
         kg, bg = _ConvParams(3, 3, self.nf, self.nf,
                              scaled_init=False, name="conv")()
-        g = _conv3x3_hcw(g, kg, bg, self.dtype)
-        return t + g
+        _, h, _, w = g.shape
+        wt, wp = _pick_tiles(w)
+        rows = 16
+        rpad = (-h) % rows
+        gp = jnp.pad(g, ((0, 0), (1, 1 + rpad), (0, 0), (2, 126 + wp - w)))
+        sk = jnp.pad(t, ((0, 0), (0, rpad), (0, 0), (0, wp - w)))
+        out = conv3x3_residual_hcw(
+            gp, sk, dual_weights(kg).astype(self.dtype),
+            bg.reshape(-1, 1).astype(self.dtype),
+            img_h=h, img_w=w, rows=rows, wt=wt)
+        return out[:, :h, :, :w]
 
 
 class SCNetFast(nn.Module):

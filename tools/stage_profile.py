@@ -1,0 +1,128 @@
+"""Per-stage cost breakdown of the streaming forward at the headline
+geometry (Kimono1-class: 480x272 LR -> 1920x1080 SR, k frames per step).
+
+Each stage is timed as an n-long chain inside ONE jit (the axon tunnel
+adds ~1 ms of fixed dispatch per jit call — BENCH_NOTES), with a scalar
+readback as the sync (block_until_ready is a no-op on axon).
+
+Usage: python tools/stage_profile.py [k]
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cdfo_tpu.config import ModelConfig
+from cdfo_tpu.models.cvsr import CVSRV8
+
+
+def timeit(f, *args, n_warm=1, n_rep=3):
+    for _ in range(n_warm):
+        out = f(*args)
+        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+    best = 1e9
+    for _ in range(n_rep):
+        t0 = time.perf_counter()
+        out = f(*args)
+        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    H, W, nf, nbr = 272, 480, 64, 6
+    cfg = ModelConfig(mask_mode="expected", compute_dtype=jnp.bfloat16,
+                      fused_trunk=True)
+    model = CVSRV8(cfg)
+    rng = np.random.RandomState(0)
+
+    def t(*shape):
+        return jnp.asarray(rng.rand(*shape).astype(np.float32))
+
+    lrs, pms, rms, ufs = (t(k, H, W, 1) for _ in range(4))
+    small = jnp.zeros((1, 7, 16, 16, 1))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), small, jnp.zeros((1, 7, 16, 16, 2)),
+        jnp.zeros((1, 7, 16, 16, 2)), small, small, small)
+    params = jax.device_put(params)
+
+    CH = 4  # chain length per stage
+
+    # --- stage 1: per-frame compensation (embed + EGLA + projections) ----
+    @jax.jit
+    def comp(p, lrs, pms, rms, ufs):
+        out = None
+        for i in range(CH):
+            l1, fi, uf = model.apply(p, lrs + i * 1e-6, pms, rms, ufs,
+                                     method="compensate_frames")
+            out = fi
+        return out
+
+    dt_comp = timeit(comp, params, lrs, pms, rms, ufs) / CH
+
+    # --- stage 2: alignment (warp + dual-MSA, k*6 neighbours) ------------
+    cl1 = t(k, H, W, nf)
+    nfi = t(k, nbr, H, W, nf)
+    nuf = t(k, nbr, H, W, nf)
+    nmv = jnp.asarray(rng.randn(k, nbr, H, W, 2).astype(np.float32))
+
+    @jax.jit
+    def align(p, cl1, nfi, nuf, nmv):
+        dt = cfg.compute_dtype
+        out = None
+        for i in range(CH):
+            center_rep = jnp.broadcast_to(
+                cl1.astype(dt)[:, None] + i * 1e-6, (k, nbr, H, W, nf)
+            ).reshape(k * nbr, H, W, nf)
+            a = model.apply(
+                p, center_rep, nfi.astype(dt).reshape(k * nbr, H, W, nf),
+                nuf.astype(dt).reshape(k * nbr, H, W, nf),
+                nmv.astype(dt).reshape(k * nbr, H, W, 2),
+                method=lambda m, *a: m.mv_deform_align(*a))
+            out = a
+        return out
+
+    dt_align = timeit(align, params, cl1, nfi, nuf, nmv) / CH
+
+    # --- stage 3: trunk ---------------------------------------------------
+    fused = t(k, H, W, nf)
+
+    @jax.jit
+    def trunk(p, x):
+        dt = cfg.compute_dtype
+        out = x.astype(dt)
+        for i in range(CH):
+            out = model.apply(p, out, method=lambda m, v: m.recon_trunk(v))
+        return out
+
+    dt_trunk = timeit(trunk, params, fused) / CH
+
+    # --- stage 4: upsample head (upconv1/2 + conv_last + base) -----------
+    @jax.jit
+    def head(p, x, lr):
+        dt = cfg.compute_dtype
+        out = None
+        for i in range(CH):
+            hcw = jnp.transpose(x.astype(dt) + i * 1e-6, (0, 1, 3, 2))
+            out = model.apply(p, hcw, lr,
+                              method=lambda m, v, c: m.head_from_trunk(v, c))
+        return out
+
+    dt_head = timeit(head, params, fused, lrs) / CH
+
+    tot = dt_comp + dt_align + dt_trunk + dt_head
+    print(f"k={k}  (ms per k-frame step / per frame)")
+    for name, v in [("compensate", dt_comp), ("alignment", dt_align),
+                    ("trunk", dt_trunk), ("head", dt_head),
+                    ("TOTAL", tot)]:
+        print(f"  {name:11s} {v * 1e3:8.1f}  {v * 1e3 / k:6.1f}")
+    print(f"  implied fps: {k / tot:.2f}")
+
+
+if __name__ == "__main__":
+    main()
