@@ -54,12 +54,14 @@ class BatchedStreamingEngine:
 
         def step(params, ring_l1, ring_fi, ring_uf, lrs, pms, rms, ufs,
                  mvs, center_lr, idx, cidx, rng):
+            # ring_fi holds QUAD-PACKED compensated features (warp-ready;
+            # the neighbour warp gathers straight from the ring)
             l1n, fin, ufn = comp(params, lrs, pms, rms, ufs, rng)
             ring_l1 = jnp.concatenate([ring_l1[k:], l1n])
             ring_fi = jnp.concatenate([ring_fi[k:], fin])
             ring_uf = jnp.concatenate([ring_uf[k:], ufn])
             sr = model.apply(params, ring_l1[cidx], center_lr,
-                             ring_fi[idx], ring_uf[idx], mvs,
+                             ring_fi, ring_uf[idx], mvs, idx,
                              method="align_reconstruct",
                              rngs={"gumbel": rng} if self._needs_rng else None)
             # quantize on device: the fp32 SR readback is 33 MB/step

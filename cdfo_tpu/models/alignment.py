@@ -46,17 +46,21 @@ class _GateMSA(nn.Module):
         gate = jax.nn.sigmoid(gate)
         v_in = v_in * gate
 
-        def to_heads(t):
-            return rearrange(t, "b h w (head c) -> b head c (h w)",
-                             head=self.num_heads)
+        # reshape-only head split; the pixel contraction rides dot_general
+        # (no explicit (b, head, c, hw) transposes — see MDTA)
+        ch = c // self.num_heads
 
-        q = _l2_normalize(to_heads(q_in).astype(jnp.float32))
-        k = _l2_normalize(to_heads(k_in).astype(jnp.float32))
-        v = to_heads(v_in)
-        attn = jnp.einsum("bncx,bndx->bncd", q, k) * temperature
+        def to_x(t):  # (b, h, w, c) -> (b, hw, head, ch)
+            return t.reshape(b, h * w, self.num_heads, ch)
+
+        q = _l2_normalize(to_x(q_in), axis=1)
+        k = _l2_normalize(to_x(k_in), axis=1)
+        v = to_x(v_in)
+        attn = jnp.einsum("bxnc,bxnd->bncd", q, k,
+                          preferred_element_type=jnp.float32) * temperature
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bncd,bndx->bncx", attn, v)
-        out = rearrange(out, "b head c (h w) -> b h w (head c)", h=h, w=w)
+        out = jnp.einsum("bncd,bxnd->bxnc", attn, v)
+        out = out.reshape(b, h, w, c)
         return Conv2d(self.dim, 1, 1, 0, use_bias=False, dtype=self.dtype,
                       name="project_out")(out)
 
@@ -74,7 +78,7 @@ class DualAttAlignment(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, extra_feat, pred_feat, flow):
+    def __call__(self, x, extra_feat, pred_feat, flow, warped_feat=None):
         fusion_out_0 = Conv2d(self.dim, 1, 1, 0, use_bias=False,
                               dtype=self.dtype, name="fusion_out_0")
         msa = _GateMSA(self.dim, self.num_heads, dtype=self.dtype, name="msa")
@@ -86,10 +90,14 @@ class DualAttAlignment(nn.Module):
         elif not self.use_pd:
             # DualAttAlignment_woPd (`:3502-3571`): only the warped MSA
             # (k = warped, unfused)
-            warped_feat = flow_warp(extra_feat, flow)
+            if warped_feat is None:
+                warped_feat = flow_warp(extra_feat, flow)
             out = msa(x, warped_feat, warped_feat)
         else:
-            warped_feat = flow_warp(extra_feat, flow)
+            # streaming callers pass a precomputed warp (from the
+            # quad-packed ring — see ops/warp.py:flow_warp_ring)
+            if warped_feat is None:
+                warped_feat = flow_warp(extra_feat, flow)
             fused_feat = jax.nn.relu(fusion_out_0(
                 jnp.concatenate([warped_feat, pred_feat], axis=-1)))
             out = msa(x, fused_feat, warped_feat) + msa(x, fused_feat, pred_feat)

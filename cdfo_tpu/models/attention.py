@@ -28,9 +28,13 @@ Dtype = Any
 
 
 def _l2_normalize(x, axis=-1, eps=1e-12):
-    """torch F.normalize: x / max(||x||_2, eps)."""
-    n = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
-    return x / jnp.maximum(n, eps)
+    """torch F.normalize: x / max(||x||_2, eps). The norm accumulates in
+    f32; the result keeps x's dtype (no f32 materialisation of the full
+    tensor — at production scale that alone was ~1.2 GB of HBM traffic
+    per alignment step)."""
+    n = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)),
+                         axis=axis, keepdims=True))
+    return (x.astype(jnp.float32) / jnp.maximum(n, eps)).astype(x.dtype)
 
 
 class MDTA(nn.Module):
@@ -54,17 +58,25 @@ class MDTA(nn.Module):
                      name="qkv_dwconv")(qkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def to_heads(t):  # channel index = head*ch + cc, identical to torch
-            return rearrange(t, "b h w (head c) -> b head c (h w)",
-                             head=self.num_heads)
+        # channel index = head*ch + cc, identical to torch. Reshape-only
+        # head split ((h w) merge + minor-dim split are layout-free) — the
+        # pixel contraction rides dot_general instead of explicit (b, head,
+        # c, hw) transposes, which at production scale were ~8 HBM passes.
+        ch = c // self.num_heads
 
-        q, k, v = to_heads(q), to_heads(k), to_heads(v)
-        q = _l2_normalize(q.astype(jnp.float32))
-        k = _l2_normalize(k.astype(jnp.float32))
-        attn = jnp.einsum("bncx,bndx->bncd", q, k) * temperature
+        def to_x(t):  # (b, h, w, c) -> (b, hw, head, ch)
+            return t.reshape(b, h * w, self.num_heads, ch)
+
+        # reference normalizes over the PIXEL axis (dim=-1 of the torch
+        # (b, head, c, hw) layout) — axis 1 here
+        q = _l2_normalize(to_x(q), axis=1)
+        k = _l2_normalize(to_x(k), axis=1)
+        v = to_x(v)
+        attn = jnp.einsum("bxnc,bxnd->bncd", q, k,
+                          preferred_element_type=jnp.float32) * temperature
         attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bncd,bndx->bncx", attn.astype(v.dtype), v)
-        out = rearrange(out, "b head c (h w) -> b h w (head c)", h=h, w=w)
+        out = jnp.einsum("bncd,bxnd->bxnc", attn.astype(v.dtype), v)
+        out = out.reshape(b, h, w, c)
         return Conv2d(self.dim, 1, 1, 0, use_bias=self.use_bias,
                       dtype=self.dtype, name="project_out")(out)
 
@@ -90,9 +102,19 @@ class GFeedForward(nn.Module):
                       dtype=self.dtype, name="project_out")(x)
 
 
+def _band_matrix(kernel, n):
+    """(n, n) banded matrix for a zero-padded 9-tap conv along an axis:
+    M[s, d] = kernel[d - s + 4] for |d - s| <= 4."""
+    m = jnp.zeros((n, n), kernel.dtype)
+    for o in range(-4, 5):
+        m = m + kernel[o + 4] * jnp.eye(n, k=-o, dtype=kernel.dtype)
+    return m
+
+
 def _conv9_along(x, kernel, bias, axis):
-    """9-tap single-channel conv along one axis of a (tokens, P, C) tensor,
-    zero padded.
+    """9-tap single-channel conv along one axis, zero padded — as ONE
+    banded-matrix contraction on the MXU (the tap-loop version was 9
+    full HBM passes over the tensor).
 
     Reproduces the reference's direct convs (`arch/SIDECVSR_our.py:
     2161-2162, 2216-2225`): ``directW1_conv`` has kernel (1, 9) over the
@@ -100,13 +122,16 @@ def _conv9_along(x, kernel, bias, axis):
     ``directH1_conv`` has kernel (9, 1) over the (h, c) plane — it convolves
     along the *position* axis (axis=1). The asymmetry is the reference's.
     """
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (4, 4)
-    xp = jnp.pad(x, pad)
-    out = jnp.zeros_like(x)
-    for i in range(9):
-        out = out + kernel[i] * jax.lax.dynamic_slice_in_dim(
-            xp, i, x.shape[axis], axis=axis)
+    n = x.shape[axis]
+    m = _band_matrix(kernel, n).astype(x.dtype)
+    if axis == x.ndim - 1:
+        out = jnp.einsum("...c,co->...o", x, m)
+    elif axis == 1 and x.ndim == 4:
+        out = jnp.einsum("bhwc,hg->bgwc", x, m)
+    elif axis == 1 and x.ndim == 3:
+        out = jnp.einsum("thc,hg->tgc", x, m)
+    else:
+        raise NotImplementedError(axis)
     return out + bias
 
 

@@ -270,9 +270,13 @@ class CVSRV8(nn.Module):
 
         lrs/pms/rms/ufs: (M, H, W, 1) — frame m's decoded LR, partition
         map, residual and unfiltered-pred (priors already max(1,i)-indexed
-        by the caller). Returns (l1, fea_i, ufs_prior), each (M, H, W, nf)
-        (ufs_prior is zeros-shaped None-stand-in when use_pd=False).
+        by the caller). Returns (l1 (M, H, W, nf), quad_fi
+        (M, H+2, W+2, 4nf) — the warp-ready quad-pack of the compensated
+        feature, built ONCE per frame instead of per window membership —
+        and ufs_prior (M, H, W, nf; zeros when use_pd=False)).
         """
+        from ..ops.warp import quad_pack
+
         cfg = self.cfg
         dt = cfg.compute_dtype
         l1 = self.embed(lrs.astype(dt), pms.astype(dt))
@@ -281,28 +285,38 @@ class CVSRV8(nn.Module):
             ufs_p = self.conv_expand_ufs(ufs.astype(dt))
         else:
             ufs_p = jnp.zeros_like(l1)
-        return l1, fea_i, ufs_p
+        return l1, quad_pack(fea_i), ufs_p
 
-    def align_reconstruct(self, center_l1, center_lr, nbr_fea_i, nbr_ufs_p,
-                          nbr_mv):
+    def align_reconstruct(self, center_l1, center_lr, quad_ring, nbr_ufs_p,
+                          nbr_mv, nbr_idx):
         """Per-center stage, batched over k output frames.
 
         center_l1 (k, H, W, nf); center_lr (k, H, W, 1);
-        nbr_* (k, N-1, H, W, ...) in temporal order excluding the center;
-        nbr_mv (k, N-1, H, W, 2) expanded L1 flows. Returns SR (k, sH, sW, 1).
+        quad_ring (L, H+2, W+2, 4nf) — quad-packed compensated features for
+        every ring slot; nbr_idx (k, N-1) int32 ring slots per neighbour in
+        temporal order excluding the center; nbr_ufs_p (k, N-1, H, W, nf);
+        nbr_mv (k, N-1, H, W, 2) expanded L1 flows.
+        Returns SR (k, sH, sW, 1). The neighbour warp gathers STRAIGHT from
+        the ring (frame index composed into the pixel gather).
         """
+        from ..ops.warp import flow_warp_ring
+
         cfg = self.cfg
         dt = cfg.compute_dtype
-        k, nm1, h, w, _ = nbr_fea_i.shape
+        k, nm1 = nbr_idx.shape
+        _, h, w, _ = center_l1.shape
         center_l1 = center_l1.astype(dt)
         center_rep = jnp.broadcast_to(
             center_l1[:, None], (k, nm1, h, w, cfg.nf)
         ).reshape(k * nm1, h, w, cfg.nf)
-        fea_i = nbr_fea_i.astype(dt).reshape(k * nm1, h, w, cfg.nf)
         ufs_p = (nbr_ufs_p.astype(dt).reshape(k * nm1, h, w, cfg.nf)
                  if cfg.use_pd else None)
         mv = nbr_mv.astype(dt).reshape(k * nm1, h, w, 2)
-        aligned = self.mv_deform_align(center_rep, fea_i, ufs_p, mv)
+        warped = (flow_warp_ring(quad_ring.astype(dt),
+                                 nbr_idx.reshape(k * nm1), mv)
+                  if cfg.use_mv else None)
+        aligned = self.mv_deform_align(center_rep, None, ufs_p, mv,
+                                       warped_feat=warped)
         aligned = aligned.reshape(k, nm1, h, w, cfg.nf)
         c = cfg.center
         aligned_fea = jnp.concatenate(

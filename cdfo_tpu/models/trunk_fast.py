@@ -127,11 +127,10 @@ def _up(t):
 
 
 class _BlockFast(nn.Module):
-    """Block_ with the 1x body + the whole 2x branch in ONE fused Pallas
-    kernel (``ops/fused_block2.py``): the 2x intermediates never touch HBM
-    and ``down . conv2`` is algebraically folded to 4/9 the FLOPs. Only the
-    0.5x branch (1/16 the FLOPs) stays on the XLA + single-body-kernel
-    path; its result feeds the fused kernel as the ``extra`` addend."""
+    """Block_ with ALL THREE branches in ONE fused Pallas kernel
+    (``ops/fused_block2.py``): the 2x and 0.5x intermediates never touch
+    HBM and ``down . conv2`` on the 2x branch is algebraically folded to
+    4/9 the FLOPs. One HBM read + one write per block."""
 
     nf: int = 64
     dtype: Dtype = jnp.float32
@@ -143,27 +142,17 @@ class _BlockFast(nn.Module):
         k2, b2 = _ConvParams(3, 3, nf * 4, nf, name="body_2")()
         kd, bd = _ConvParams(1, 1, nf, nf, name="down_0")()
         ku, bu = _ConvParams(1, 1, nf, nf, name="up_0")()
-        w1d = dual_weights(k0).astype(dt)
-        w2d = dual_weights(k2).astype(dt)
-        w2f = fold_down_conv2(k2).astype(dt)
-        b1c = b0.reshape(-1, 1).astype(dt)
-        b2c = b2.reshape(-1, 1).astype(dt)
-
-        # 0.5x branch; the 1x1 convs commute with the bilinear resizes
-        # (channel-only vs spatial-only linear maps), running at the
-        # small geometry.
-        dn = _body(_down(_conv1x1(x, kd, bd, dt)), w1d, b1c, w2d, b2c)
-        extra = _up(_conv1x1(dn, ku, bu, dt))
 
         _, h, _, w = x.shape
         wt, wp = _pick_tiles(w)
         rows = 16
         rpad = (-h) % rows
-        tp = jnp.pad(x, ((0, 0), (2, 2), (0, 0), (2, 2)), mode="edge")
-        tp = jnp.pad(tp, ((0, 0), (0, rpad), (0, 0), (0, 124 + wp - w)))
-        ex = jnp.pad(extra, ((0, 0), (0, rpad), (0, 0), (0, wp - w)))
+        tp = jnp.pad(x, ((0, 0), (6, 6), (0, 0), (6, 6)), mode="edge")
+        tp = jnp.pad(tp, ((0, 0), (0, rpad), (0, 0), (0, 116 + wp - w)))
         out = scale_block_hcw(
-            tp, ex, w1d, b1c, w2d, b2c, w2f,
+            tp, dual_weights(k0).astype(dt), b0.reshape(-1, 1).astype(dt),
+            dual_weights(k2).astype(dt), b2.reshape(-1, 1).astype(dt),
+            fold_down_conv2(k2).astype(dt),
             ku[0, 0].astype(dt), bu.reshape(-1, 1).astype(dt),
             kd[0, 0].astype(dt), bd.reshape(-1, 1).astype(dt),
             img_h=h, img_w=w, rows=rows, wt=wt)

@@ -93,32 +93,109 @@ def flow_warp(
         v01 = tap(y0i, x0i + 1)
         v10 = tap(y0i + 1, x0i)
         v11 = tap(y0i + 1, x0i + 1)
-    else:
-        # zeros padding: quad-pack the four taps so ONE gather (512-byte
-        # rows instead of 128) fetches all of them — ~2.2x faster on TPU
-        # than four separate gathers. A one-pixel zero border supplies the
-        # out-of-range taps; samples that miss the border band entirely are
-        # masked to zero afterwards.
-        xp = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
-        hp, wp = h + 2, w + 2  # addressable base positions: y0 in [-1, h]
-        quad = jnp.concatenate([
-            xp[:, :hp, :wp], xp[:, :hp, 1:wp + 1],
-            xp[:, 1:hp + 1, :wp], xp[:, 1:hp + 1, 1:wp + 1]], axis=-1)
-        py = jnp.clip(y0i + 1, 0, hp - 1)
-        px = jnp.clip(x0i + 1, 0, wp - 1)
-        q = jax.vmap(_gather_hw)(quad, py, px)
-        v00, v01, v10, v11 = jnp.split(q, 4, axis=-1)
-        outside = ((y0i < -1) | (y0i > h - 1) | (x0i < -1) | (x0i > w - 1))
-        keep = (~outside)[..., None]
-        v00 = jnp.where(keep, v00, 0)
-        v01 = jnp.where(keep, v01, 0)
-        v10 = jnp.where(keep, v10, 0)
-        v11 = jnp.where(keep, v11, 0)
 
-    w00 = ((1 - wy1) * (1 - wx1))[..., None]
-    w01 = ((1 - wy1) * wx1)[..., None]
-    w10 = (wy1 * (1 - wx1))[..., None]
-    w11 = (wy1 * wx1)[..., None]
+        w00 = ((1 - wy1) * (1 - wx1))[..., None]
+        w01 = ((1 - wy1) * wx1)[..., None]
+        w10 = (wy1 * (1 - wx1))[..., None]
+        w11 = (wy1 * wx1)[..., None]
+        out = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+        return out.astype(orig_dtype)
 
+    return _warp_from_quad(quad_pack(x), sx, sy, h, w).astype(orig_dtype)
+
+
+def quad_pack(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H+2, W+2, 4C): the four bilinear corner taps
+    stacked in channels so ONE gather (512-byte rows instead of 128)
+    fetches all of them — ~2.2x faster on TPU than four separate gathers.
+    A one-pixel zero border supplies the out-of-range taps.
+
+    The pack depends only on the image (not the flow), so streaming
+    callers build it ONCE per frame and warp it many times
+    (:func:`flow_warp_quad`); the reference rebuilds per window membership.
+    """
+    _, h, w, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    hp, wp = h + 2, w + 2
+    return jnp.concatenate([
+        xp[:, :hp, :wp], xp[:, :hp, 1:wp + 1],
+        xp[:, 1:hp + 1, :wp], xp[:, 1:hp + 1, 1:wp + 1]], axis=-1)
+
+
+def _warp_from_quad(quad, sx, sy, h, w):
+    """Bilinear zeros-padding sample of a quad-packed image at float
+    coords (sy, sx); samples that miss the 1-px border band are zeroed."""
+    fdtype = sx.dtype
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx1 = (sx - x0).astype(fdtype)
+    wy1 = (sy - y0).astype(fdtype)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    hp, wp = h + 2, w + 2
+    py = jnp.clip(y0i + 1, 0, hp - 1)
+    px = jnp.clip(x0i + 1, 0, wp - 1)
+    q = jax.vmap(_gather_hw)(quad, py, px)
+    v00, v01, v10, v11 = jnp.split(q, 4, axis=-1)
+    keep = (((y0i >= -1) & (y0i <= h - 1) & (x0i >= -1) & (x0i <= w - 1))
+            .astype(fdtype))
+    w00 = (keep * (1 - wy1) * (1 - wx1))[..., None]
+    w01 = (keep * (1 - wy1) * wx1)[..., None]
+    w10 = (keep * wy1 * (1 - wx1))[..., None]
+    w11 = (keep * wy1 * wx1)[..., None]
+    return v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+
+
+def flow_warp_ring(quad_ring: jnp.ndarray, frame_idx: jnp.ndarray,
+                   flow: jnp.ndarray) -> jnp.ndarray:
+    """Warp frames picked from a quad-packed RING by per-image flows, with
+    the frame selection COMPOSED into the pixel gather (one gather total —
+    the ring is never copied per consumer).
+
+    quad_ring: (L, H+2, W+2, 4C) from :func:`quad_pack` per ring slot.
+    frame_idx: (B,) int32 ring slot per output image.
+    flow: (B, H, W, 2) pixel-unit (dx, dy).
+    Returns (B, H, W, C), identical to ``flow_warp(ring[i], flow[b])``.
+    """
+    l, hp, wp, c4 = quad_ring.shape
+    h, w = hp - 2, wp - 2
+    fdtype = jnp.promote_types(flow.dtype, jnp.float32)
+    grid_x = jax.lax.broadcasted_iota(fdtype, (h, w), 1)
+    grid_y = jax.lax.broadcasted_iota(fdtype, (h, w), 0)
+    sx = grid_x[None] + flow[..., 0].astype(fdtype)
+    sy = grid_y[None] + flow[..., 1].astype(fdtype)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx1 = (sx - x0).astype(fdtype)
+    wy1 = (sy - y0).astype(fdtype)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    py = jnp.clip(y0i + 1, 0, hp - 1)
+    px = jnp.clip(x0i + 1, 0, wp - 1)
+    b = flow.shape[0]
+    flat = quad_ring.reshape(l * hp * wp, c4)
+    idx = frame_idx.reshape(b, 1, 1) * (hp * wp) + py * wp + px
+    q = jnp.take(flat, idx.reshape(-1), axis=0).reshape(b, h, w, c4)
+    v00, v01, v10, v11 = jnp.split(q, 4, axis=-1)
+    keep = (((y0i >= -1) & (y0i <= h - 1) & (x0i >= -1) & (x0i <= w - 1))
+            .astype(fdtype))
+    w00 = (keep * (1 - wy1) * (1 - wx1))[..., None]
+    w01 = (keep * (1 - wy1) * wx1)[..., None]
+    w10 = (keep * wy1 * (1 - wx1))[..., None]
+    w11 = (keep * wy1 * wx1)[..., None]
     out = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
-    return out.astype(orig_dtype)
+    return out.astype(quad_ring.dtype)
+
+
+def flow_warp_quad(quad: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Warp a pre-packed quad (from :func:`quad_pack`) by pixel-unit flow
+    (dx, dy). Identical result to ``flow_warp(x, flow)`` (bilinear,
+    zeros padding, align_corners=True)."""
+    b, hp, wp, c4 = quad.shape
+    h, w = hp - 2, wp - 2
+    fdtype = jnp.promote_types(flow.dtype, jnp.float32)
+    grid_x = jax.lax.broadcasted_iota(fdtype, (h, w), 1)
+    grid_y = jax.lax.broadcasted_iota(fdtype, (h, w), 0)
+    sx = grid_x[None] + flow[..., 0].astype(fdtype)
+    sy = grid_y[None] + flow[..., 1].astype(fdtype)
+    return _warp_from_quad(quad, sx, sy, h, w).astype(quad.dtype)

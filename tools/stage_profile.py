@@ -56,11 +56,12 @@ def main():
     # --- stage 1: per-frame compensation (embed + EGLA + projections) ----
     @jax.jit
     def comp(p, lrs, pms, rms, ufs):
-        out = None
+        out = jnp.float32(0)
         for i in range(CH):
-            l1, fi, uf = model.apply(p, lrs + i * 1e-6, pms, rms, ufs,
+            # chain through a scalar so XLA cannot dead-code-eliminate
+            l1, fi, uf = model.apply(p, lrs + out * 1e-20, pms, rms, ufs,
                                      method="compensate_frames")
-            out = fi
+            out = jnp.sum(fi).astype(jnp.float32)
         return out
 
     dt_comp = timeit(comp, params, lrs, pms, rms, ufs) / CH
@@ -74,17 +75,17 @@ def main():
     @jax.jit
     def align(p, cl1, nfi, nuf, nmv):
         dt = cfg.compute_dtype
-        out = None
+        out = jnp.float32(0)
         for i in range(CH):
             center_rep = jnp.broadcast_to(
-                cl1.astype(dt)[:, None] + i * 1e-6, (k, nbr, H, W, nf)
-            ).reshape(k * nbr, H, W, nf)
+                cl1.astype(dt)[:, None] + out.astype(dt) * 1e-20,
+                (k, nbr, H, W, nf)).reshape(k * nbr, H, W, nf)
             a = model.apply(
                 p, center_rep, nfi.astype(dt).reshape(k * nbr, H, W, nf),
                 nuf.astype(dt).reshape(k * nbr, H, W, nf),
                 nmv.astype(dt).reshape(k * nbr, H, W, 2),
                 method=lambda m, *a: m.mv_deform_align(*a))
-            out = a
+            out = jnp.sum(a).astype(jnp.float32)
         return out
 
     dt_align = timeit(align, params, cl1, nfi, nuf, nmv) / CH
@@ -106,19 +107,42 @@ def main():
     @jax.jit
     def head(p, x, lr):
         dt = cfg.compute_dtype
-        out = None
+        out = jnp.float32(0)
         for i in range(CH):
-            hcw = jnp.transpose(x.astype(dt) + i * 1e-6, (0, 1, 3, 2))
-            out = model.apply(p, hcw, lr,
-                              method=lambda m, v, c: m.head_from_trunk(v, c))
+            hcw = jnp.transpose(x.astype(dt) + out.astype(dt) * 1e-20,
+                                (0, 1, 3, 2))
+            o = model.apply(p, hcw, lr,
+                            method=lambda m, v, c: m.head_from_trunk(v, c))
+            out = jnp.sum(o).astype(jnp.float32)
         return out
 
     dt_head = timeit(head, params, fused, lrs) / CH
+
+    # --- whole per-center stage (align + fuse + trunk + head) ------------
+    from cdfo_tpu.ops.warp import quad_pack
+
+    qring = quad_pack(t(k + nbr, H, W, nf).astype(cfg.compute_dtype))
+    nidx = jnp.asarray(
+        np.stack([np.arange(nbr)] * k).astype(np.int32))
+
+    @jax.jit
+    def arec(p, cl1, qring, nuf, nmv, lr):
+        out = jnp.float32(0)
+        for i in range(CH):
+            o = model.apply(p, cl1 + out * 1e-20, lr,
+                            qring + out.astype(qring.dtype) * 1e-20,
+                            nuf, nmv, nidx,
+                            method="align_reconstruct")
+            out = jnp.sum(o).astype(jnp.float32)
+        return out
+
+    dt_arec = timeit(arec, params, cl1, qring, nuf, nmv, lrs) / CH
 
     tot = dt_comp + dt_align + dt_trunk + dt_head
     print(f"k={k}  (ms per k-frame step / per frame)")
     for name, v in [("compensate", dt_comp), ("alignment", dt_align),
                     ("trunk", dt_trunk), ("head", dt_head),
+                    ("align_rec", dt_arec),
                     ("TOTAL", tot)]:
         print(f"  {name:11s} {v * 1e3:8.1f}  {v * 1e3 / k:6.1f}")
     print(f"  implied fps: {k / tot:.2f}")
