@@ -36,15 +36,26 @@ class _GateMSA(nn.Module):
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in):
+        """``v_in`` may be a tuple of value tensors: attention and the
+        (bias-free) output projection are linear in v and the attention
+        matrix depends only on (q, k), so ``msa(q,k,v1) + msa(q,k,v2)``
+        == ``msa(q,k,(v1,v2))`` exactly — at HALF the attention/projection
+        cost. (The reference computes the two cross-MSAs with shared
+        weights and identical q,k — `arch/SIDECVSR_our.py:3459-3490`.)"""
         b, h, w, c = q_in.shape
         temperature = self.param("temperature", nn.initializers.ones,
                                  (self.num_heads, 1, 1))
-        gate = jnp.mean(v_in, axis=(1, 2), keepdims=True)
-        gate = Conv2d(self.dim // 16, 1, 1, 0, dtype=self.dtype, name="conv_du_0")(gate)
-        gate = jax.nn.relu(gate)
-        gate = Conv2d(self.dim, 1, 1, 0, dtype=self.dtype, name="conv_du_2")(gate)
-        gate = jax.nn.sigmoid(gate)
-        v_in = v_in * gate
+        du0 = Conv2d(self.dim // 16, 1, 1, 0, dtype=self.dtype,
+                     name="conv_du_0")
+        du2 = Conv2d(self.dim, 1, 1, 0, dtype=self.dtype, name="conv_du_2")
+        vs = v_in if isinstance(v_in, tuple) else (v_in,)
+        v_sum = None
+        for v in vs:
+            gate = jnp.mean(v, axis=(1, 2), keepdims=True)
+            gate = jax.nn.sigmoid(du2(jax.nn.relu(du0(gate))))
+            gv = v * gate
+            v_sum = gv if v_sum is None else v_sum + gv
+        v_in = v_sum
 
         # reshape-only head split; the pixel contraction rides dot_general
         # (no explicit (b, head, c, hw) transposes — see MDTA)
@@ -100,7 +111,8 @@ class DualAttAlignment(nn.Module):
                 warped_feat = flow_warp(extra_feat, flow)
             fused_feat = jax.nn.relu(fusion_out_0(
                 jnp.concatenate([warped_feat, pred_feat], axis=-1)))
-            out = msa(x, fused_feat, warped_feat) + msa(x, fused_feat, pred_feat)
+            # == msa(x, fused, warped) + msa(x, fused, pred), exactly
+            out = msa(x, fused_feat, (warped_feat, pred_feat))
         out = jax.nn.relu(fusion_out_0(jnp.concatenate([out, x], axis=-1)))
         out = CALayer(self.dim, dtype=self.dtype, name="CALayer")(out)
         out = ResidualBlockNoBN(self.dim, dtype=self.dtype, name="ResidualBlock")(out)
