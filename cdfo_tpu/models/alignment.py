@@ -64,11 +64,17 @@ class _GateMSA(nn.Module):
         def to_x(t):  # (b, h, w, c) -> (b, hw, head, ch)
             return t.reshape(b, h * w, self.num_heads, ch)
 
-        q = _l2_normalize(to_x(q_in), axis=1)
-        k = _l2_normalize(to_x(k_in), axis=1)
+        # normalization factored out of the gram product — see MDTA
+        q = to_x(q_in)
+        k = to_x(k_in)
         v = to_x(v_in)
-        attn = jnp.einsum("bxnc,bxnd->bncd", q, k,
-                          preferred_element_type=jnp.float32) * temperature
+        nq = jnp.maximum(jnp.sqrt(jnp.sum(
+            jnp.square(q.astype(jnp.float32)), axis=1)), 1e-12)
+        nk = jnp.maximum(jnp.sqrt(jnp.sum(
+            jnp.square(k.astype(jnp.float32)), axis=1)), 1e-12)
+        g = jnp.einsum("bxnc,bxnd->bncd", q, k,
+                       preferred_element_type=jnp.float32)
+        attn = g / (nq[..., :, None] * nk[..., None, :]) * temperature
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bncd,bxnd->bxnc", attn, v)
         out = out.reshape(b, h, w, c)

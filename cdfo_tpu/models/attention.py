@@ -67,13 +67,21 @@ class MDTA(nn.Module):
         def to_x(t):  # (b, h, w, c) -> (b, hw, head, ch)
             return t.reshape(b, h * w, self.num_heads, ch)
 
-        # reference normalizes over the PIXEL axis (dim=-1 of the torch
-        # (b, head, c, hw) layout) — axis 1 here
-        q = _l2_normalize(to_x(q), axis=1)
-        k = _l2_normalize(to_x(k), axis=1)
+        # The reference L2-normalizes q/k over the PIXEL axis (dim=-1 of
+        # the torch (b, head, c, hw) layout) before the gram product. The
+        # normalization FACTORS OUT: q_hat^T k_hat = (q^T k) / (|q| |k|)
+        # — so compute the raw gram and divide by the norms, skipping two
+        # full normalized-tensor materialisations.
+        q = to_x(q)
+        k = to_x(k)
         v = to_x(v)
-        attn = jnp.einsum("bxnc,bxnd->bncd", q, k,
-                          preferred_element_type=jnp.float32) * temperature
+        nq = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=1))
+        nk = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=1))
+        nq = jnp.maximum(nq, 1e-12)              # (b, head, ch)... (b,n,c)
+        nk = jnp.maximum(nk, 1e-12)
+        g = jnp.einsum("bxnc,bxnd->bncd", q, k,
+                       preferred_element_type=jnp.float32)
+        attn = g / (nq[..., :, None] * nk[..., None, :]) * temperature
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bncd,bxnd->bxnc", attn.astype(v.dtype), v)
         out = out.reshape(b, h, w, c)

@@ -75,7 +75,17 @@ class _TSAFusionParams(nn.Module):
                                       name="conv")()
         # torch channel order is frame-major: (n, c) factorisation is exact
         w = kernel.reshape(self.n, self.nf, self.nf).astype(self.dtype)
-        out = jnp.einsum("bnhwc,nco->bhwo", aligned_fea, w)
+        if isinstance(aligned_fea, tuple):
+            # (neighbours (B, N-1, H, W, C), center (B, H, W, C)) — the
+            # frame contraction splits exactly; avoids materialising the
+            # (B, N, H, W, C) temporal concat (467 MB/step at production)
+            nbr, center = aligned_fea
+            c = self.n // 2
+            wn = jnp.concatenate([w[:c], w[c + 1:]], axis=0)
+            out = (jnp.einsum("bnhwc,nco->bhwo", nbr, wn)
+                   + jnp.einsum("bhwc,co->bhwo", center, w[c]))
+        else:
+            out = jnp.einsum("bnhwc,nco->bhwo", aligned_fea, w)
         return out + bias.astype(self.dtype)
 
 
@@ -318,10 +328,9 @@ class CVSRV8(nn.Module):
         aligned = self.mv_deform_align(center_rep, None, ufs_p, mv,
                                        warped_feat=warped)
         aligned = aligned.reshape(k, nm1, h, w, cfg.nf)
-        c = cfg.center
-        aligned_fea = jnp.concatenate(
-            [aligned[:, :c], center_l1[:, None], aligned[:, c:]], axis=1)
-        return self._reconstruct(aligned_fea, center_lr)
+        # neighbours stay in temporal order (center excluded); the tsa
+        # fusion contracts them and the center separately — no concat
+        return self._reconstruct((aligned, center_l1), center_lr)
 
     def __call__(self, lrs, mvs0, mvs1, pms, rms, ufs,
                  pre_l1: Optional[jnp.ndarray] = None):
