@@ -95,7 +95,14 @@ class DualAttAlignment(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, extra_feat, pred_feat, flow, warped_feat=None):
+    def __call__(self, x, extra_feat, pred_feat, flow, warped_feat=None,
+                 center_hcw=None):
+        """``center_hcw`` (B//nbr, H, C, W): when given, the tail
+        (CALayer + 2 ResBlocks + center skip) runs as ONE row-major
+        Pallas kernel (`ops/fused_tail.py`) and the output is returned in
+        (B, H, C, W) layout — the trunk's native layout. The four tail
+        convs are the NHWC C=64 shape XLA runs ~3x below the dual-form
+        rate on this chip."""
         fusion_out_0 = Conv2d(self.dim, 1, 1, 0, use_bias=False,
                               dtype=self.dtype, name="fusion_out_0")
         msa = _GateMSA(self.dim, self.num_heads, dtype=self.dtype, name="msa")
@@ -120,7 +127,50 @@ class DualAttAlignment(nn.Module):
             # == msa(x, fused, warped) + msa(x, fused, pred), exactly
             out = msa(x, fused_feat, (warped_feat, pred_feat))
         out = jax.nn.relu(fusion_out_0(jnp.concatenate([out, x], axis=-1)))
-        out = CALayer(self.dim, dtype=self.dtype, name="CALayer")(out)
+        ca = CALayer(self.dim, dtype=self.dtype, name="CALayer")
+        if center_hcw is not None:
+            return self._fast_tail(out, ca, center_hcw)
+        out = ca(out)
         out = ResidualBlockNoBN(self.dim, dtype=self.dtype, name="ResidualBlock")(out)
         out = ResidualBlockNoBN(self.dim, dtype=self.dtype, name="ResidualBlock1")(out)
         return out + x
+
+    def _fast_tail(self, fo, ca, center_hcw):
+        from ..ops.fused_block import dual_weights
+        from ..ops.fused_tail import resblock_pair_hcw
+        from .trunk_fast import _ConvParams, _pick_tiles
+
+        class _RawRB(nn.Module):
+            dim: int
+
+            @nn.compact
+            def __call__(self):
+                k1, b1 = _ConvParams(3, 3, self.dim, self.dim,
+                                     name="conv1")()
+                k2, b2 = _ConvParams(3, 3, self.dim, self.dim,
+                                     name="conv2")()
+                return k1, b1, k2, b2
+
+        dt = self.dtype
+        k1a, b1a, k1b, b1b = _RawRB(self.dim, name="ResidualBlock")()
+        k2a, b2a, k2b, b2b = _RawRB(self.dim, name="ResidualBlock1")()
+        s = ca.scale(fo)                                  # (B, 1, 1, C)
+        t = (jnp.transpose(fo, (0, 1, 3, 2))
+             * jnp.transpose(s, (0, 1, 3, 2)))            # (B, H, C, W)
+        bsz, h, _, w = t.shape
+        bc = center_hcw.shape[0]
+        nbr = bsz // bc
+        wt, wp = _pick_tiles(w)
+        rows = 16
+        rpad = (-h) % rows
+        tp = jnp.pad(t, ((0, 0), (4, 4 + rpad), (0, 0), (4, 124 + wp - w)))
+        sk = jnp.pad(center_hcw.astype(dt),
+                     ((0, 0), (0, rpad), (0, 0), (0, wp - w)))
+        out = resblock_pair_hcw(
+            tp, sk,
+            dual_weights(k1a).astype(dt), b1a.reshape(-1, 1).astype(dt),
+            dual_weights(k1b).astype(dt), b1b.reshape(-1, 1).astype(dt),
+            dual_weights(k2a).astype(dt), b2a.reshape(-1, 1).astype(dt),
+            dual_weights(k2b).astype(dt), b2b.reshape(-1, 1).astype(dt),
+            img_h=h, img_w=w, nbr=nbr, rows=rows, wt=wt)
+        return out[:, :h, :, :w]

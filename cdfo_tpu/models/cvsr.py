@@ -76,12 +76,17 @@ class _TSAFusionParams(nn.Module):
         # torch channel order is frame-major: (n, c) factorisation is exact
         w = kernel.reshape(self.n, self.nf, self.nf).astype(self.dtype)
         if isinstance(aligned_fea, tuple):
-            # (neighbours (B, N-1, H, W, C), center (B, H, W, C)) — the
-            # frame contraction splits exactly; avoids materialising the
-            # (B, N, H, W, C) temporal concat (467 MB/step at production)
-            nbr, center = aligned_fea
+            # (neighbours (B, N-1, ...), center (B, ...)) — the frame
+            # contraction splits exactly; avoids materialising the
+            # (B, N, H, W, C) temporal concat (467 MB/step at production).
+            # In "hcw" layout the operands are (B, [N-1,] H, C, W).
+            nbr, center, layout = aligned_fea
             c = self.n // 2
             wn = jnp.concatenate([w[:c], w[c + 1:]], axis=0)
+            if layout == "hcw":
+                out = (jnp.einsum("bnhcw,nco->bhow", nbr, wn)
+                       + jnp.einsum("bhcw,co->bhow", center, w[c]))
+                return out + bias.astype(self.dtype)[None, None, :, None]
             out = (jnp.einsum("bnhwc,nco->bhwo", nbr, wn)
                    + jnp.einsum("bhwc,co->bhwo", center, w[c]))
         else:
@@ -233,12 +238,17 @@ class CVSRV8(nn.Module):
     def _reconstruct(self, aligned_fea, center_lr):
         """ATFM fusion + CSSR trunk + upsample head + bilinear base.
 
-        aligned_fea (B, N, H, W, nf), center_lr (B, H, W, 1) -> SR fp32.
+        aligned_fea: (B, N, H, W, nf), or a (neighbours, center, layout)
+        tuple (layout "hcw" = row-major (.., H, C, W) operands, in which
+        case fusion/trunk/head all stay in that layout end to end).
+        center_lr (B, H, W, 1) -> SR fp32.
         """
         cfg = self.cfg
+        hcw = isinstance(aligned_fea, tuple) and aligned_fea[2] == "hcw"
         fused = lrelu(self._tsa(aligned_fea))
         if cfg.fused_trunk:
-            out = self.recon_trunk(fused, out_layout="hcw")
+            out = self.recon_trunk(fused, out_layout="hcw",
+                                   in_layout="hcw" if hcw else "nhwc")
             return self.head_from_trunk(out, center_lr)
         out = self.recon_trunk(fused)
         return self.head_from_trunk(out, center_lr)
@@ -325,12 +335,22 @@ class CVSRV8(nn.Module):
         warped = (flow_warp_ring(quad_ring.astype(dt),
                                  nbr_idx.reshape(k * nm1), mv)
                   if cfg.use_mv else None)
+        if cfg.fused_trunk:
+            # fast tail: alignment exits in row-major (H, C, W); fusion,
+            # trunk and head all stay in that layout
+            center_hcw = jnp.transpose(center_l1, (0, 1, 3, 2))
+            aligned = self.mv_deform_align(center_rep, None, ufs_p, mv,
+                                           warped_feat=warped,
+                                           center_hcw=center_hcw)
+            aligned = aligned.reshape(k, nm1, h, cfg.nf, w)
+            return self._reconstruct((aligned, center_hcw, "hcw"),
+                                     center_lr)
         aligned = self.mv_deform_align(center_rep, None, ufs_p, mv,
                                        warped_feat=warped)
         aligned = aligned.reshape(k, nm1, h, w, cfg.nf)
         # neighbours stay in temporal order (center excluded); the tsa
         # fusion contracts them and the center separately — no concat
-        return self._reconstruct((aligned, center_l1), center_lr)
+        return self._reconstruct((aligned, center_l1, "nhwc"), center_lr)
 
     def __call__(self, lrs, mvs0, mvs1, pms, rms, ufs,
                  pre_l1: Optional[jnp.ndarray] = None):

@@ -175,14 +175,20 @@ class CALayer(nn.Module):
     channel: int = 64
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
+        self._du0 = Conv2d(self.channel, 1, 1, 0, dtype=self.dtype,
+                           name="conv_du_0")
+        self._du2 = Conv2d(self.channel, 1, 1, 0, dtype=self.dtype,
+                           name="conv_du_2")
+
+    def scale(self, x):
+        """The (B, 1, 1, C) sigmoid gate alone (for fused callers that
+        apply it inside a kernel)."""
         y = jnp.mean(x, axis=(1, 2), keepdims=True)
-        y = Conv2d(self.channel, 1, 1, 0, dtype=self.dtype, name="conv_du_0")(y)
-        y = jax.nn.relu(y)
-        y = Conv2d(self.channel, 1, 1, 0, dtype=self.dtype, name="conv_du_2")(y)
-        y = jax.nn.sigmoid(y)
-        return x * y
+        return jax.nn.sigmoid(self._du2(jax.nn.relu(self._du0(y))))
+
+    def __call__(self, x):
+        return x * self.scale(x)
 
 
 class SpatialAttention(nn.Module):

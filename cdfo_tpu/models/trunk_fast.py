@@ -193,9 +193,13 @@ class SCNetFast(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_nhwc, out_layout: str = "nhwc"):
+    def __call__(self, x_nhwc, out_layout: str = "nhwc",
+                 in_layout: str = "nhwc"):
         dt = self.dtype
-        t = jnp.transpose(x_nhwc.astype(dt), (0, 1, 3, 2))  # (B, H, C, W)
+        if in_layout == "hcw":
+            t = x_nhwc.astype(dt)
+        else:
+            t = jnp.transpose(x_nhwc.astype(dt), (0, 1, 3, 2))  # (B,H,C,W)
         r = t
         for i in range(self.num_groups):
             r = _GroupFast(self.nf, dt, name=f"body_{i}")(r)
