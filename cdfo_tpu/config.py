@@ -32,6 +32,9 @@ class ModelConfig:
     # execution strategy (numerics-preserving): fused Pallas trunk kernel
     # in row-major (H, C, W) layout — see cdfo_tpu/models/trunk_fast.py
     fused_trunk: bool = False
+    # int8 "turbo" trunk (NOT bit-exact; ~2x MXU rate on v5e). Opt-in,
+    # inference-only; measured PSNR delta in BENCH_NOTES.md.
+    trunk_int8: bool = False
     compute_dtype: Any = jnp.float32
 
     @property

@@ -130,10 +130,12 @@ class _BlockFast(nn.Module):
     """Block_ with ALL THREE branches in ONE fused Pallas kernel
     (``ops/fused_block2.py``): the 2x and 0.5x intermediates never touch
     HBM and ``down . conv2`` on the 2x branch is algebraically folded to
-    4/9 the FLOPs. One HBM read + one write per block."""
+    4/9 the FLOPs. One HBM read + one write per block. ``use_int8``
+    switches to the int8-turbo twin (approximate — config.trunk_int8)."""
 
     nf: int = 64
     dtype: Dtype = jnp.float32
+    use_int8: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -149,7 +151,11 @@ class _BlockFast(nn.Module):
         rpad = (-h) % rows
         tp = jnp.pad(x, ((0, 0), (6, 6), (0, 0), (6, 6)), mode="edge")
         tp = jnp.pad(tp, ((0, 0), (0, rpad), (0, 0), (0, 116 + wp - w)))
-        out = scale_block_hcw(
+        if self.use_int8:
+            from ..ops.fused_block2_q import scale_block_hcw_q as _sb
+        else:
+            _sb = scale_block_hcw
+        out = _sb(
             tp, dual_weights(k0).astype(dt), b0.reshape(-1, 1).astype(dt),
             dual_weights(k2).astype(dt), b2.reshape(-1, 1).astype(dt),
             fold_down_conv2(k2).astype(dt),
@@ -163,13 +169,16 @@ class _GroupFast(nn.Module):
     nf: int = 64
     dtype: Dtype = jnp.float32
 
+    use_int8: bool = False
+
     @nn.compact
     def __call__(self, t):
         from ..ops.fused_groupconv import conv3x3_residual_hcw
 
         g = t
         for j in range(3):
-            g = _BlockFast(self.nf, dtype=self.dtype, name=f"body_{j}")(g)
+            g = _BlockFast(self.nf, dtype=self.dtype,
+                           use_int8=self.use_int8, name=f"body_{j}")(g)
         kg, bg = _ConvParams(3, 3, self.nf, self.nf,
                              scaled_init=False, name="conv")()
         _, h, _, w = g.shape
@@ -191,6 +200,7 @@ class SCNetFast(nn.Module):
     nf: int = 64
     num_groups: int = 7
     dtype: Dtype = jnp.float32
+    use_int8: bool = False
 
     @nn.compact
     def __call__(self, x_nhwc, out_layout: str = "nhwc",
@@ -202,7 +212,8 @@ class SCNetFast(nn.Module):
             t = jnp.transpose(x_nhwc.astype(dt), (0, 1, 3, 2))  # (B,H,C,W)
         r = t
         for i in range(self.num_groups):
-            r = _GroupFast(self.nf, dt, name=f"body_{i}")(r)
+            r = _GroupFast(self.nf, dt, use_int8=self.use_int8,
+                           name=f"body_{i}")(r)
         out = t + r
         if out_layout == "hcw":
             return out

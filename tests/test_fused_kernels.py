@@ -118,3 +118,36 @@ def test_groupconv_residual_parity():
     got = jnp.transpose(out[:, :h, :, :w], (0, 1, 3, 2))
     rel = float(jnp.max(jnp.abs(ref - got))) / float(jnp.max(jnp.abs(ref)))
     assert rel < 1e-5, rel
+
+
+def test_int8_turbo_block_close_to_exact():
+    """The opt-in int8 trunk (config.trunk_int8) tracks the exact kernel
+    within quantization tolerance (~1-2% relative)."""
+    from cdfo_tpu.ops.fused_block2 import fold_down_conv2, scale_block_hcw
+    from cdfo_tpu.ops.fused_block2_q import scale_block_hcw_q
+
+    rng = np.random.RandomState(3)
+    B, H, W, C = 1, 16, 30, 8
+    CM = 4 * C
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    xh = jnp.transpose(x, (0, 1, 3, 2))
+    xp = jnp.pad(xh, ((0, 0), (6, 6), (0, 0), (6, 6)), mode="edge")
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, 116 + 128 - W)))
+    w1 = dual_weights(jnp.asarray(rng.randn(3, 3, C, CM).astype(np.float32) * 0.1))
+    b1 = jnp.asarray(rng.randn(CM, 1).astype(np.float32) * 0.1)
+    w2hw = jnp.asarray(rng.randn(3, 3, CM, C).astype(np.float32) * 0.1)
+    w2 = dual_weights(w2hw)
+    b2 = jnp.asarray(rng.randn(C, 1).astype(np.float32) * 0.1)
+    w2f = fold_down_conv2(w2hw)
+    ku = jnp.asarray(rng.randn(C, C).astype(np.float32) * 0.3)
+    bu = jnp.asarray(rng.randn(C, 1).astype(np.float32) * 0.1)
+    kd = jnp.asarray(rng.randn(C, C).astype(np.float32) * 0.3)
+    bd = jnp.asarray(rng.randn(C, 1).astype(np.float32) * 0.1)
+    kw = dict(img_h=H, img_w=W, rows=4, wt=128)
+    exact = scale_block_hcw(xp, w1, b1, w2, b2, w2f, ku, bu, kd, bd, **kw)
+    turbo = scale_block_hcw_q(xp, w1, b1, w2, b2, w2f, ku, bu, kd, bd, **kw)
+    e = np.asarray(exact[:, :H, :, :W], np.float32)
+    t = np.asarray(turbo[:, :H, :, :W], np.float32)
+    rel = np.abs(e - t).max() / np.abs(e).max()
+    corr = np.corrcoef(e.ravel(), t.ravel())[0, 1]
+    assert rel < 0.05 and corr > 0.999, (rel, corr)
