@@ -16,10 +16,8 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-from einops import rearrange
 from flax import linen as nn
 
-from .attention import _l2_normalize
 from .layers import CALayer, Conv2d, ResidualBlockNoBN
 from ..ops.warp import flow_warp
 
