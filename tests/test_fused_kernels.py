@@ -151,3 +151,42 @@ def test_int8_turbo_block_close_to_exact():
     rel = np.abs(e - t).max() / np.abs(e).max()
     corr = np.corrcoef(e.ravel(), t.ravel())[0, 1]
     assert rel < 0.05 and corr > 0.999, (rel, corr)
+
+
+def test_resblock_pair_tail_parity():
+    """`ops/fused_tail.py`: RB2(RB1(t)) + skip[b//nbr] vs straight-line
+    XLA (reference `arch/SIDECVSR_our.py:254-271,3492-3494`)."""
+    from cdfo_tpu.ops.fused_tail import resblock_pair_hcw
+
+    rng = np.random.RandomState(4)
+    bc, nbr, h, w, c = 2, 3, 12, 30, 8
+    b = bc * nbr
+    t = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    center = jnp.asarray(rng.randn(bc, h, w, c).astype(np.float32))
+    ws = [jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32) * 0.1)
+          for _ in range(4)]
+    bs = [jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+          for _ in range(4)]
+
+    def rb(x, k1, b1, k2, b2):
+        return x + _conv(jnp.maximum(_conv(x, k1, b1, 1), 0.0), k2, b2, 1)
+
+    skip_b = jnp.repeat(center, nbr, axis=0)
+    ref = rb(rb(t, ws[0], bs[0], ws[1], bs[1]),
+             ws[2], bs[2], ws[3], bs[3]) + skip_b
+
+    rows, wt = 4, 128
+    th = jnp.transpose(t, (0, 1, 3, 2))
+    tp = jnp.pad(th, ((0, 0), (4, 4), (0, 0), (4, 124 + wt - w)))
+    sk = jnp.pad(jnp.transpose(center, (0, 1, 3, 2)),
+                 ((0, 0), (0, 0), (0, 0), (0, wt - w)))
+    out = resblock_pair_hcw(
+        tp, sk,
+        dual_weights(ws[0]), bs[0].reshape(-1, 1),
+        dual_weights(ws[1]), bs[1].reshape(-1, 1),
+        dual_weights(ws[2]), bs[2].reshape(-1, 1),
+        dual_weights(ws[3]), bs[3].reshape(-1, 1),
+        img_h=h, img_w=w, nbr=nbr, rows=rows, wt=wt)
+    got = jnp.transpose(out[:, :h, :, :w], (0, 1, 3, 2))
+    rel = float(jnp.max(jnp.abs(ref - got))) / float(jnp.max(jnp.abs(ref)))
+    assert rel < 1e-5, rel
