@@ -71,3 +71,26 @@ def test_eval_mask_mode_default_is_expected():
     for tool in ("tools/eval_jctvc.py", "bench.py", "tools/bench_fps.py"):
         src = pathlib.Path(tool).read_text()
         assert 'mask_mode="expected"' in src, tool
+
+
+@pytest.mark.parametrize("ablation", [
+    dict(use_mv=False),            # woMV: no warp branch in streaming
+    dict(use_pd=False),            # woPd: no pred branch / no ufs prior
+    dict(use_la=False),            # woLA: EGLA variant, no rms branch
+])
+def test_engine_ablations_match_per_window(ablation):
+    """The streaming fast paths (quad ring, ring warp, fused tail) keep
+    the ablation branches output-identical to the per-window forward."""
+    cfg = ModelConfig(scn_groups=2, mask_mode="expected",
+                      fused_trunk=True, **ablation)
+    model = CVSRV8(cfg)
+    data = synthetic_sequence(t=6, h=16, w=24, seed=5)
+    dummy = np.zeros((1, 7, 16, 24, 1), np.float32)
+    dmv = np.zeros((1, 7, 16, 24, 2), np.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dmv, dmv,
+                                 dummy, dummy, dummy)
+    ref_frames, _ = StreamingInferencer(model, params).run_sequence(data)
+    eng = BatchedStreamingEngine(model, params, k=2)
+    frames, _ = eng.run_sequence(data)
+    diff = np.abs(frames.astype(np.int32) - ref_frames.astype(np.int32))
+    assert diff.max() <= 1, (ablation, diff.max())
