@@ -129,16 +129,19 @@ class BatchedStreamingEngine:
         rng, sub = jax.random.split(rng)
         L, S = self._L, self._S
         bslots = jnp.asarray([(p + S) % L for p in range(-k - half, half)])
-        t0 = time.perf_counter()
-        bl1, bfi, buf = self._boot(self.params, *binp, sub)
-        ring_l1 = jnp.zeros((L,) + bl1.shape[1:], bl1.dtype
-                            ).at[bslots].set(bl1)
-        ring_fi = jnp.zeros((L,) + bfi.shape[1:], bfi.dtype
-                            ).at[bslots].set(bfi)
-        ring_uf = jnp.zeros((L,) + buf.shape[1:], buf.dtype
-                            ).at[bslots].set(buf)
-        float(jnp.sum(ring_l1))  # honest sync (axon block_until_ready no-op)
-        total += time.perf_counter() - t0
+
+        def boot():
+            bl1, bfi, buf = self._boot(self.params, *binp, sub)
+            ring_l1 = jnp.zeros((L,) + bl1.shape[1:], bl1.dtype
+                                ).at[bslots].set(bl1)
+            ring_fi = jnp.zeros((L,) + bfi.shape[1:], bfi.dtype
+                                ).at[bslots].set(bfi)
+            ring_uf = jnp.zeros((L,) + buf.shape[1:], buf.dtype
+                                ).at[bslots].set(buf)
+            return ring_l1, ring_fi, ring_uf
+
+        if not collect_timing:
+            ring_l1, ring_fi, ring_uf = boot()
 
         out_frames = [None] * t
         poffs = [p for p in range(n) if p != half]
@@ -186,6 +189,10 @@ class BatchedStreamingEngine:
                 sync(st)
             srs = []
             t0 = time.perf_counter()
+            # the bootstrap embed is dispatched INSIDE the timed chain
+            # (frame 0's full-window cost counts, per the reference) —
+            # no intermediate sync between boot and the steps
+            ring_l1, ring_fi, ring_uf = boot()
             for si, j in enumerate(starts):
                 rng, sub = jax.random.split(rng)
                 sr8, ring_l1, ring_fi, ring_uf = self._step(
