@@ -58,20 +58,24 @@ def main():
     # warm-up on a short prefix compiles both graphs
     warm = synthetic_sequence(t=2 * k, h=h, w=w, seed=1)
     eng.run_sequence(warm)
-    # best of 3 timed runs: run-to-run spread through the axon tunnel is
-    # ~±15% for an identical program (BENCH_NOTES); the model is
-    # deterministic, so the best run is the least host-noise-polluted one
-    fps = 0.0
+    # three timed runs; the HEADLINE is the median, comparable to the
+    # reference's single-pass measurement (run-to-run spread through the
+    # axon tunnel is ~±15% for an identical program, so best-of would
+    # report the optimistic tail — ADVICE r2). All runs are disclosed.
+    runs = []
     for _ in range(3):
         frames, f = eng.run_sequence(data, collect_timing=True)
-        fps = max(fps, f)
+        runs.append(float(f))
     assert frames.shape == (t, 1080, 1920)  # 1088-row output cropped to 1080
+    fps = sorted(runs)[1]
 
     print(json.dumps({
         "metric": "1080p_x4_streaming_fps",
-        "value": round(float(fps), 3),
+        "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(float(fps) / 30.0, 4),
+        "vs_baseline": round(fps / 30.0, 4),
+        "runs": [round(r, 3) for r in runs],
+        "best": round(max(runs), 3),
     }))
 
 

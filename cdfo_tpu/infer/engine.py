@@ -169,8 +169,11 @@ class BatchedStreamingEngine:
 
         def sync(staged):
             # axon block_until_ready is a no-op; a scalar readback is the
-            # only way to guarantee the upload has landed before the timer
-            for a in staged[:6]:
+            # only way to guarantee the upload has landed before the timer.
+            # Every staged leaf is forced (the idx/cidx/slot0 scalars are a
+            # few bytes each, so the extra readbacks are cheap and keep the
+            # timed region transfer-free).
+            for a in staged:
                 float(jnp.sum(a.astype(jnp.float32)))
 
         starts = list(range(0, t, k))

@@ -112,7 +112,8 @@ class GFeedForward(nn.Module):
 
 def _band_matrix(kernel, n):
     """(n, n) banded matrix for a zero-padded 9-tap conv along an axis:
-    M[s, d] = kernel[d - s + 4] for |d - s| <= 4."""
+    M[s, d] = kernel[s - d + 4] for |d - s| <= 4 (eye(n, k=-o) with
+    o = s - d places kernel[o + 4] on the o-th subdiagonal)."""
     m = jnp.zeros((n, n), kernel.dtype)
     for o in range(-4, 5):
         m = m + kernel[o + 4] * jnp.eye(n, k=-o, dtype=kernel.dtype)

@@ -265,12 +265,12 @@ class CVSRV8(nn.Module):
         cfg = self.cfg
         dt = cfg.compute_dtype
         if cfg.fused_trunk:
-            from ..ops.fused_head import fused_head
+            from ..ops.fused_vjp import head_fused
 
             k1, b1 = self.upconv1.raw()
             k2, b2 = self.upconv2.raw()
             kl, bl = self.conv_last_p()
-            return fused_head(out, center_lr.astype(dt),
+            return head_fused(out, center_lr.astype(dt),
                               k1, b1, k2, b2, kl, bl)
         out = lrelu(self.upconv1(out))
         out = lrelu(self.upconv2(out))

@@ -27,7 +27,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.fused_block import block_body_hcw, dual_weights
-from ..ops.fused_block2 import fold_down_conv2, scale_block_hcw
+from ..ops.fused_block2 import fold_down_conv2
 from ..ops.resize import _resize_axis_down_half, _resize_axis_up_int
 from .layers import scaled_kaiming_normal, torch_bias_init, torch_conv_kernel_init
 
@@ -145,16 +145,18 @@ class _BlockFast(nn.Module):
         kd, bd = _ConvParams(1, 1, nf, nf, name="down_0")()
         ku, bu = _ConvParams(1, 1, nf, nf, name="up_0")()
 
+        if not self.use_int8:
+            # differentiable wrapper (fused forward + exact recompute VJP)
+            from ..ops.fused_vjp import block_fused
+            return block_fused(x, k0, b0, k2, b2, kd, bd, ku, bu)
+
+        from ..ops.fused_block2_q import scale_block_hcw_q as _sb
         _, h, _, w = x.shape
         wt, wp = _pick_tiles(w)
         rows = 16
         rpad = (-h) % rows
         tp = jnp.pad(x, ((0, 0), (6, 6), (0, 0), (6, 6)), mode="edge")
         tp = jnp.pad(tp, ((0, 0), (0, rpad), (0, 0), (0, 116 + wp - w)))
-        if self.use_int8:
-            from ..ops.fused_block2_q import scale_block_hcw_q as _sb
-        else:
-            _sb = scale_block_hcw
         out = _sb(
             tp, dual_weights(k0).astype(dt), b0.reshape(-1, 1).astype(dt),
             dual_weights(k2).astype(dt), b2.reshape(-1, 1).astype(dt),
@@ -173,7 +175,7 @@ class _GroupFast(nn.Module):
 
     @nn.compact
     def __call__(self, t):
-        from ..ops.fused_groupconv import conv3x3_residual_hcw
+        from ..ops.fused_vjp import grouptail_fused
 
         g = t
         for j in range(3):
@@ -181,17 +183,7 @@ class _GroupFast(nn.Module):
                            use_int8=self.use_int8, name=f"body_{j}")(g)
         kg, bg = _ConvParams(3, 3, self.nf, self.nf,
                              scaled_init=False, name="conv")()
-        _, h, _, w = g.shape
-        wt, wp = _pick_tiles(w)
-        rows = 16
-        rpad = (-h) % rows
-        gp = jnp.pad(g, ((0, 0), (1, 1 + rpad), (0, 0), (2, 126 + wp - w)))
-        sk = jnp.pad(t, ((0, 0), (0, rpad), (0, 0), (0, wp - w)))
-        out = conv3x3_residual_hcw(
-            gp, sk, dual_weights(kg).astype(self.dtype),
-            bg.reshape(-1, 1).astype(self.dtype),
-            img_h=h, img_w=w, rows=rows, wt=wt)
-        return out[:, :h, :, :w]
+        return grouptail_fused(g, t, kg, bg)
 
 
 class SCNetFast(nn.Module):

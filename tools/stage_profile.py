@@ -7,6 +7,7 @@ readback as the sync (block_until_ready is a no-op on axon).
 
 Usage: python tools/stage_profile.py [k]
 """
+import os
 import sys
 import time
 
@@ -15,6 +16,16 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compilation cache (same as bench.py): the per-stage jits cost
+# minutes of Mosaic/XLA compile cold; cached reruns skip them entirely
+_cache = os.path.expanduser("~/.cache/jax_cdfo")
+os.makedirs(_cache, exist_ok=True)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
 
 from cdfo_tpu.config import ModelConfig
 from cdfo_tpu.models.cvsr import CVSRV8
