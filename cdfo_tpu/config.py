@@ -35,6 +35,9 @@ class ModelConfig:
     # int8 "turbo" trunk (NOT bit-exact; ~2x MXU rate on v5e). Opt-in,
     # inference-only; measured PSNR delta in BENCH_NOTES.md.
     trunk_int8: bool = False
+    # fused GCPI embed rounds (ops/fused_mdta.py) — numerics-preserving,
+    # requires use_pab; ignored for the woPAB ablation
+    fused_embed: bool = False
     compute_dtype: Any = jnp.float32
 
     @property

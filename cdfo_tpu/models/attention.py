@@ -172,15 +172,20 @@ class EGLA(nn.Module):
         v = Conv2d(self.in_dim, 1, 1, 0, dtype=self.dtype, name="conv_du_re2_0")(v)
         v = jax.nn.relu(v)
         # bilinear 1x1 -> (h,w) is a constant broadcast; then per-pixel gumbel
-        v = jnp.broadcast_to(v, (b, h, w, c)).astype(jnp.float32)
         if self.mask_mode == "sample":
+            v = jnp.broadcast_to(v, (b, h, w, c)).astype(jnp.float32)
             u = jax.random.uniform(
                 self.make_rng("gumbel"), (b, h, w, c),
                 minval=jnp.finfo(jnp.float32).tiny, maxval=1.0)
             g = -jnp.log(-jnp.log(u))
             rm = jax.nn.softmax(v + g, axis=-1)
         elif self.mask_mode == "expected":
-            rm = jax.nn.softmax(v, axis=-1)
+            # the noise-free softmax input is spatially CONSTANT, so
+            # softmax+threshold commute with the broadcast: compute on
+            # (B, 1, 1, C) instead of a full-res f32 tensor
+            rm = jnp.broadcast_to(
+                jax.nn.softmax(v.astype(jnp.float32), axis=-1),
+                (b, h, w, c))
         else:
             raise ValueError(self.mask_mode)
         # hard threshold; zero-grad in reference too (masked_fill)

@@ -147,9 +147,16 @@ class CVSRV8(nn.Module):
         self.conv_first = Conv2d(cfg.nf, 3, 1, 1, dtype=dt, name="conv_first")
         self.conv_second = Conv2d(cfg.nf, 3, 1, 1, dtype=dt, name="conv_second")
         if cfg.use_pab:
-            self.transformer_feature_extraction = PartitionTransformerSA2(
-                cfg.nf, cfg.mdta_heads, dtype=dt,
-                name="transformer_feature_extraction")
+            if cfg.fused_embed:
+                from .prior_encoder import PartitionTransformerSA2Fast
+                self.transformer_feature_extraction = \
+                    PartitionTransformerSA2Fast(
+                        cfg.nf, cfg.mdta_heads, dtype=dt,
+                        name="transformer_feature_extraction")
+            else:
+                self.transformer_feature_extraction = PartitionTransformerSA2(
+                    cfg.nf, cfg.mdta_heads, dtype=dt,
+                    name="transformer_feature_extraction")
         else:
             self.transformer_feature_extraction = PartitionTransformerSAWoPAB(
                 cfg.nf, cfg.mdta_heads, dtype=dt,

@@ -105,6 +105,122 @@ class PartitionTransformerSA2(nn.Module):
         return x1
 
 
+class _LNParams(nn.Module):
+    """Raw ChannelLayerNorm params (same tree paths: weight, bias)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return w, b
+
+
+class _MDTAParams(nn.Module):
+    """Raw MDTA params, tree-path identical to :class:`MDTA` (bias-free
+    convs): temperature, qkv/conv/kernel, qkv_dwconv/conv/kernel,
+    project_out/conv/kernel."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self):
+        from .layers import torch_conv_kernel_init
+
+        class _K(nn.Module):
+            shape: tuple
+
+            @nn.compact
+            def __call__(inner):
+                class _Raw(nn.Module):
+                    shape: tuple
+
+                    @nn.compact
+                    def __call__(r):
+                        return r.param("kernel", torch_conv_kernel_init,
+                                       r.shape)
+
+                return _Raw(inner.shape, name="conv")()
+
+        temp = self.param("temperature", nn.initializers.ones,
+                          (self.num_heads, 1, 1))
+        kqkv = _K((1, 1, self.dim, self.dim * 3), name="qkv")()
+        kdw = _K((3, 3, 1, self.dim * 3), name="qkv_dwconv")()
+        kproj = _K((1, 1, self.dim, self.dim), name="project_out")()
+        return temp, kqkv, kdw, kproj
+
+
+class PartitionTransformerSA2Fast(nn.Module):
+    """PartitionTransformerSA2 on the fused-kernel HCW path
+    (`ops/fused_mdta.py`): numerically identical math, param-tree
+    identical (same norm1/norm2/attn/conv/side_to_feaoneUDSA paths), but
+    each round runs as two Pallas passes + an (8, 8)-per-head XLA softmax
+    instead of ~15 XLA HBM passes. The side branch (16-channel U-Net)
+    stays on the XLA path — it is cheap and stride-2 shaped."""
+
+    dim: int = 64
+    num_heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2):
+        from ..ops.fused_mdta import (attention_matrix, mdta_stage1,
+                                      mdta_stage2)
+        from .trunk_fast import _ConvParams
+        from ..ops.fused_block import dual_weights
+
+        n1w, n1b = _LNParams(self.dim, name="norm1")()
+        n2w, n2b = _LNParams(self.dim, name="norm2")()
+        temp, kqkv, kdw, kproj = _MDTAParams(self.dim, self.num_heads,
+                                             name="attn")()
+        kconv, bconv = _ConvParams(3, 3, self.dim, self.dim,
+                                   scaled_init=False, name="conv")()
+        side = SideToFeaUDSA2(self.dim, nf=16, dtype=self.dtype,
+                              name="side_to_feaoneUDSA")
+
+        dt = self.dtype
+        m, h, w, c = x1.shape
+        rows = 16
+        hp = h + (-h) % rows
+        wt = -(-w // 128) * 128
+        rpad = hp - h
+
+        def to_hcw(t_nhwc):  # -> (M, hp, C, wt), data at lane 0
+            t = jnp.transpose(t_nhwc.astype(dt), (0, 1, 3, 2))
+            return jnp.pad(t, ((0, 0), (0, rpad), (0, 0), (0, wt - w)))
+
+        def pad_hcw(t_hcw):  # -> (M, hp+2, C, wt+128) stage input
+            return jnp.pad(t_hcw, ((0, 0), (1, 1), (0, 0), (2, 126)))
+
+        # packed weights (shared across the three rounds)
+        wqkv_t = kqkv[0, 0].T.astype(dt)                     # (3c, c)
+        dwk = jnp.transpose(kdw[:, :, 0, :], (2, 0, 1)).reshape(
+            3 * c, 9).astype(jnp.float32)                    # (3c, 9)
+        wproj_t = kproj[0, 0].T.astype(dt)                   # (c, c)
+        wconv_d = dual_weights(kconv).astype(dt)             # (c, 9c)
+        n1w_ = n1w.reshape(-1, 1).astype(jnp.float32)
+        n1b_ = n1b.reshape(-1, 1).astype(jnp.float32)
+        n2w_ = n2w.reshape(-1, 1).astype(jnp.float32)
+        n2b_ = n2b.reshape(-1, 1).astype(jnp.float32)
+        bconv_ = bconv.reshape(-1, 1).astype(jnp.float32)
+
+        x1h = to_hcw(x1)
+        x2n = x2
+        for r in range(3):
+            x2n = side(x2n) + (x1 if r == 0 else x2n)
+            x2h = to_hcw(x2n)
+            v, stats = mdta_stage1(pad_hcw(x1h), n1w_, n1b_, wqkv_t, dwk,
+                                   img_h=h, img_w=w, rows=rows, wt=wt)
+            amat = attention_matrix(stats, temp, self.num_heads).astype(dt)
+            x1h = mdta_stage2(pad_hcw(x1h), pad_hcw(v), x2h, amat,
+                              wproj_t, n2w_, n2b_, wconv_d, bconv_,
+                              img_h=h, img_w=w, rows=rows, wt=wt)
+        out = x1h[:, :h, :, :w]
+        return jnp.transpose(out, (0, 1, 3, 2))
+
+
 class SideToFeaUD(nn.Module):
     """Stride-2 U encoder without spatial attention
     (`arch/SIDECVSR_our.py:1736-1756`); 1-channel in/out."""
