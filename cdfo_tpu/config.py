@@ -38,6 +38,9 @@ class ModelConfig:
     # fused GCPI embed rounds (ops/fused_mdta.py) — numerics-preserving,
     # requires use_pab; ignored for the woPAB ablation
     fused_embed: bool = False
+    # fused dual-MSA alignment (ops/fused_align.py) on the streaming
+    # path — numerics-preserving; needs use_mv and use_pd
+    fused_align: bool = False
     compute_dtype: Any = jnp.float32
 
     @property

@@ -94,13 +94,24 @@ class DualAttAlignment(nn.Module):
 
     @nn.compact
     def __call__(self, x, extra_feat, pred_feat, flow, warped_feat=None,
-                 center_hcw=None):
+                 center_hcw=None, center_nhwc=None):
         """``center_hcw`` (B//nbr, H, C, W): when given, the tail
         (CALayer + 2 ResBlocks + center skip) runs as ONE row-major
         Pallas kernel (`ops/fused_tail.py`) and the output is returned in
         (B, H, C, W) layout — the trunk's native layout. The four tail
         convs are the NHWC C=64 shape XLA runs ~3x below the dual-form
-        rate on this chip."""
+        rate on this chip.
+
+        ``center_nhwc`` (B//nbr, H, W, C): when ALSO given (streaming
+        engine, use_mv+use_pd), the whole dual-MSA chain runs as the two
+        W-major Pallas passes in `ops/fused_align.py` — x/extra_feat/flow
+        are unused (the warp is precomputed) and the center is never
+        broadcast to the neighbour batch."""
+        if center_nhwc is not None:
+            assert center_hcw is not None and warped_feat is not None \
+                and self.use_mv and self.use_pd
+            return self._fused_msa(warped_feat, pred_feat, center_nhwc,
+                                   center_hcw)
         fusion_out_0 = Conv2d(self.dim, 1, 1, 0, use_bias=False,
                               dtype=self.dtype, name="fusion_out_0")
         msa = _GateMSA(self.dim, self.num_heads, dtype=self.dtype, name="msa")
@@ -133,7 +144,102 @@ class DualAttAlignment(nn.Module):
         out = ResidualBlockNoBN(self.dim, dtype=self.dtype, name="ResidualBlock1")(out)
         return out + x
 
+    def _fused_msa(self, warped, pred, center_nhwc, center_hcw):
+        """Dual-MSA via `ops/fused_align.py`: two passes over the big
+        operands, gates folded into the attention matrix, output in
+        row-major layout straight into the fused tail kernel."""
+        from ..ops.fused_align import msa_stage1, msa_stage2
+        from ..ops.fused_mdta import attention_matrix
+        from .trunk_fast import _ConvParams
+
+        class _MSAParams(nn.Module):
+            """Raw _GateMSA params (identical tree paths)."""
+
+            dim: int
+            num_heads: int
+
+            @nn.compact
+            def __call__(inner):
+                temp = inner.param("temperature", nn.initializers.ones,
+                                   (inner.num_heads, 1, 1))
+                k0, b0 = _ConvParams(1, 1, inner.dim, inner.dim // 16,
+                                     scaled_init=False, name="conv_du_0")()
+                k2, b2 = _ConvParams(1, 1, inner.dim // 16, inner.dim,
+                                     scaled_init=False, name="conv_du_2")()
+                kp, _ = _ConvParams(1, 1, inner.dim, inner.dim,
+                                    scaled_init=False, use_bias=False,
+                                    name="project_out")()
+                return temp, k0, b0, k2, b2, kp
+
+        dt = self.dtype
+        kf, _ = _ConvParams(1, 1, 2 * self.dim, self.dim, scaled_init=False,
+                            use_bias=False, name="fusion_out_0")()
+        temp, k0, b0, k2, b2, kp = _MSAParams(self.dim, self.num_heads,
+                                              name="msa")()
+        ca = CALayer(self.dim, dtype=dt, name="CALayer")
+
+        b, h, w, c = warped.shape
+        bc = center_nhwc.shape[0]
+        nbr = b // bc
+        rows = 16
+        rpad = (-h) % rows
+
+        def rpadded(t):
+            return jnp.pad(t, ((0, 0), (0, rpad), (0, 0), (0, 0))) \
+                if rpad else t
+
+        warped = rpadded(warped.astype(dt))
+        pred = rpadded(pred.astype(dt))
+        center_p = rpadded(center_nhwc.astype(dt))
+        wfuse = kf[0, 0].astype(dt)                       # (2C, C)
+
+        stats = msa_stage1(warped, pred, center_p, wfuse,
+                           img_h=h, img_w=w, nbr=nbr, rows=rows)
+        amat = attention_matrix(stats[:, :3], temp, self.num_heads)
+        npix = float(h * w)
+        gap_w = (stats[:, 3, 0, :] / npix).astype(dt)     # (B, C)
+        gap_p = (stats[:, 4, 0, :] / npix).astype(dt)
+
+        def gate(g):
+            y = jax.nn.relu(jnp.einsum("bc,co->bo", g, k0[0, 0].astype(dt))
+                            + b0.astype(dt))
+            y = jnp.einsum("bc,co->bo", y, k2[0, 0].astype(dt)) \
+                + b2.astype(dt)
+            return jax.nn.sigmoid(y)                      # (B, C)
+
+        gw = gate(gap_w)
+        gp = gate(gap_p)
+        # fold the v-gates into the attention matrix (linear in v):
+        # A (gw.w + gp.p) = (A diag(gw)) w + (A diag(gp)) p; stage 2 uses
+        # the right-multiplication form M = diag(g) A^T
+        amat_dt = amat.astype(dt)
+        awt = jnp.swapaxes(amat_dt * gw[:, None, :], 1, 2)
+        apt = jnp.swapaxes(amat_dt * gp[:, None, :], 1, 2)
+
+        from .trunk_fast import _pick_tiles
+        _, wp_t = _pick_tiles(w)
+        # stage 2 writes fo DIRECTLY in the tail's slab layout; the
+        # CALayer gate is applied inside the tail kernel — the full-res
+        # gate-multiply + pad XLA pass between them is gone
+        fo, st2 = msa_stage2(warped, pred, center_p, awt, apt,
+                             kp[0, 0].astype(dt), wfuse,
+                             img_h=h, img_w=w, nbr=nbr, rows=rows,
+                             out_wpp=wp_t + 128)
+        gap2 = (st2[:, 0, 0, :] / npix).astype(dt)
+        s = ca.scale(gap2[:, None, None, :])              # (B, 1, 1, C)
+        return self._tail_from_hcw(fo, center_hcw, gate=s[:, 0, 0, :],
+                                   pre_rows=rows)
+
     def _fast_tail(self, fo, ca, center_hcw):
+        s = ca.scale(fo)                                  # (B, 1, 1, C)
+        t = (jnp.transpose(fo, (0, 1, 3, 2))
+             * jnp.transpose(s, (0, 1, 3, 2)))            # (B, H, C, W)
+        return self._tail_from_hcw(t, center_hcw)
+
+    def _tail_from_hcw(self, t, center_hcw, gate=None, pre_rows=None):
+        """``pre_rows`` set: ``t`` is already in the tail slab layout
+        (B, Hp + 2*pre_rows, C, Wp + 128), written by ``msa_stage2`` —
+        no XLA pad pass; ``gate`` (B, C) is applied inside the kernel."""
         from ..ops.fused_block import dual_weights
         from ..ops.fused_tail import resblock_pair_hcw
         from .trunk_fast import _ConvParams, _pick_tiles
@@ -152,16 +258,19 @@ class DualAttAlignment(nn.Module):
         dt = self.dtype
         k1a, b1a, k1b, b1b = _RawRB(self.dim, name="ResidualBlock")()
         k2a, b2a, k2b, b2b = _RawRB(self.dim, name="ResidualBlock1")()
-        s = ca.scale(fo)                                  # (B, 1, 1, C)
-        t = (jnp.transpose(fo, (0, 1, 3, 2))
-             * jnp.transpose(s, (0, 1, 3, 2)))            # (B, H, C, W)
-        bsz, h, _, w = t.shape
-        bc = center_hcw.shape[0]
+        bsz = t.shape[0]
+        bc, h, _, w = center_hcw.shape
         nbr = bsz // bc
         wt, wp = _pick_tiles(w)
         rows = 16
         rpad = (-h) % rows
-        tp = jnp.pad(t, ((0, 0), (4, 4 + rpad), (0, 0), (4, 124 + wp - w)))
+        if pre_rows is None:
+            tp = jnp.pad(t, ((0, 0), (4, 4 + rpad), (0, 0),
+                             (4, 124 + wp - w)))
+            row_base = 4
+        else:
+            tp = t
+            row_base = pre_rows
         sk = jnp.pad(center_hcw.astype(dt),
                      ((0, 0), (0, rpad), (0, 0), (0, wp - w)))
         out = resblock_pair_hcw(
@@ -170,5 +279,6 @@ class DualAttAlignment(nn.Module):
             dual_weights(k1b).astype(dt), b1b.reshape(-1, 1).astype(dt),
             dual_weights(k2a).astype(dt), b2a.reshape(-1, 1).astype(dt),
             dual_weights(k2b).astype(dt), b2b.reshape(-1, 1).astype(dt),
-            img_h=h, img_w=w, nbr=nbr, rows=rows, wt=wt)
+            img_h=h, img_w=w, nbr=nbr, rows=rows, wt=wt,
+            row_base=row_base, gate=gate)
         return out[:, :h, :, :w]

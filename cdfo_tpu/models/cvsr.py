@@ -334,9 +334,6 @@ class CVSRV8(nn.Module):
         k, nm1 = nbr_idx.shape
         _, h, w, _ = center_l1.shape
         center_l1 = center_l1.astype(dt)
-        center_rep = jnp.broadcast_to(
-            center_l1[:, None], (k, nm1, h, w, cfg.nf)
-        ).reshape(k * nm1, h, w, cfg.nf)
         ufs_p = (nbr_ufs_p.astype(dt).reshape(k * nm1, h, w, cfg.nf)
                  if cfg.use_pd else None)
         mv = nbr_mv.astype(dt).reshape(k * nm1, h, w, 2)
@@ -347,12 +344,26 @@ class CVSRV8(nn.Module):
             # fast tail: alignment exits in row-major (H, C, W); fusion,
             # trunk and head all stay in that layout
             center_hcw = jnp.transpose(center_l1, (0, 1, 3, 2))
-            aligned = self.mv_deform_align(center_rep, None, ufs_p, mv,
-                                           warped_feat=warped,
-                                           center_hcw=center_hcw)
+            if cfg.fused_align and cfg.use_mv and cfg.use_pd:
+                # fully-fused MSA: the center is indexed inside the
+                # kernels (bi // nbr) — never broadcast to k*nm1
+                aligned = self.mv_deform_align(None, None, ufs_p, mv,
+                                               warped_feat=warped,
+                                               center_hcw=center_hcw,
+                                               center_nhwc=center_l1)
+            else:
+                center_rep = jnp.broadcast_to(
+                    center_l1[:, None], (k, nm1, h, w, cfg.nf)
+                ).reshape(k * nm1, h, w, cfg.nf)
+                aligned = self.mv_deform_align(center_rep, None, ufs_p, mv,
+                                               warped_feat=warped,
+                                               center_hcw=center_hcw)
             aligned = aligned.reshape(k, nm1, h, cfg.nf, w)
             return self._reconstruct((aligned, center_hcw, "hcw"),
                                      center_lr)
+        center_rep = jnp.broadcast_to(
+            center_l1[:, None], (k, nm1, h, w, cfg.nf)
+        ).reshape(k * nm1, h, w, cfg.nf)
         aligned = self.mv_deform_align(center_rep, None, ufs_p, mv,
                                        warped_feat=warped)
         aligned = aligned.reshape(k, nm1, h, w, cfg.nf)

@@ -43,6 +43,7 @@ class _ConvParams(nn.Module):
     cin: int
     cout: int
     scaled_init: bool = True
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
@@ -55,19 +56,22 @@ class _ConvParams(nn.Module):
             cin: int
             cout: int
             kernel_init: Any
+            use_bias: bool
 
             @nn.compact
             def __call__(inner):
                 kernel = inner.param(
                     "kernel", inner.kernel_init,
                     (inner.kh, inner.kw, inner.cin, inner.cout))
+                if not inner.use_bias:
+                    return kernel, None
                 bias = inner.param(
                     "bias", torch_bias_init(inner.kh * inner.kw * inner.cin),
                     (inner.cout,))
                 return kernel, bias
 
         return _Raw(self.kh, self.kw, self.cin, self.cout, init,
-                    name="conv")()
+                    self.use_bias, name="conv")()
 
 
 def _pick_tiles(w: int) -> tuple[int, int]:

@@ -21,21 +21,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, sk_ref, w11_ref, b11_ref, w12_ref, b12_ref,
+def _kernel(x_ref, sk_ref, g_ref, w11_ref, b11_ref, w12_ref, b12_ref,
             w21_ref, b21_ref, w22_ref, b22_ref, out_ref,
             x_t, xm_t, y1_t, r1_t, y2_t, sk_t, o_t,
             in_sems, sk_sems, out_sems, *,
-            rows, wt, cin, h, w, nbr, nsteps, unroll, out_dtype):
+            rows, wt, cin, h, w, nbr, nsteps, unroll, out_dtype, row_base):
     bi = pl.program_id(0)
     ci = pl.program_id(1)
     c0 = ci * wt
     R = rows
     f32 = jnp.float32
     ski = jax.lax.div(bi, nbr)
+    # per-frame channel gate, pre-broadcast over lanes by the host
+    # (lane-safe: no single-lane slices / sublane<->lane relayouts)
+    gv = g_ref[bi].astype(f32)                    # (cin, wt + 8)
 
     def in_copy(i, slot):
         return pltpu.make_async_copy(
-            x_ref.at[bi, pl.ds(i * R, R + 8), :, pl.ds(c0, wt + 128)],
+            x_ref.at[bi, pl.ds(i * R + row_base - 4, R + 8), :,
+                     pl.ds(c0, wt + 128)],
             x_t.at[slot], in_sems.at[slot])
 
     def sk_copy(i, slot):
@@ -91,13 +95,16 @@ def _kernel(x_ref, sk_ref, w11_ref, b11_ref, w12_ref, b12_ref,
         in_copy(i, slot).wait()
         sk_copy(i, slot).wait()
 
-        # masked input rows: slab row j <-> 1x row r0 + j - 4
+        # masked input rows: slab row j <-> 1x row r0 + j - 4. The mask is
+        # a `where` (not a multiply): rows outside the image may be
+        # UNWRITTEN HBM when the producer kernel emits the padded layout
+        # directly (row_base > 4), and NaN * 0 = NaN.
         def xm_row(j, c):
             r = r0 + j - 4
-            rv = jnp.where((r >= 0) & (r < h), 1.0, 0.0).astype(f32)
+            rv = (r >= 0) & (r < h)
             xr = x_t[slot, pl.ds(j, 1), :, 0:wt + 8][0]
-            xm_t[pl.ds(j, 1)] = (xr.astype(f32)
-                                 * (rv * cm_x)).astype(xm_t.dtype)[None]
+            xv = jnp.where(rv & (cm_x > 0), xr.astype(f32) * gv, 0.0)
+            xm_t[pl.ds(j, 1)] = xv.astype(xm_t.dtype)[None]
             return c
 
         jax.lax.fori_loop(0, R + 8, xm_row, 0,
@@ -187,25 +194,37 @@ def resblock_pair_hcw(x_pad: jnp.ndarray, skip: jnp.ndarray,
                       w11d, b11, w12d, b12, w21d, b21, w22d, b22, *,
                       img_h: int, img_w: int, nbr: int = 1,
                       rows: int = 16, wt: int = 512,
-                      unroll: bool = True) -> jnp.ndarray:
-    """out = RB2(RB1(x)) + skip[b // nbr] on row-major features.
+                      unroll: bool = True, row_base: int = 4,
+                      gate: jnp.ndarray | None = None) -> jnp.ndarray:
+    """out = RB2(RB1(gate[b] * x)) + skip[b // nbr] on row-major features.
 
-    x_pad: (B, H+8, cin, Wp+128), 4 rows pad each side / 4 cols left (pad
-      values arbitrary — masked). skip: (B//nbr, H, cin, Wp).
+    x_pad: (B, H+2*row_base, cin, Wp+128) with image row 0 at slab row
+      ``row_base`` and image col 0 at lane 4 (pad values arbitrary —
+      where-masked, NaN-safe). skip: (B//nbr, H, cin, Wp).
     w*d: (cin, 9*cin) dual conv weights; b* (cin, 1).
+    gate: optional (B, cin) per-frame channel scale (e.g. the CALayer
+      gate), applied to x inside the kernel — saves the full-res XLA
+      multiply pass when the producer writes x_pad directly.
     """
     bsz, hp, cin, wpp = x_pad.shape
-    h, wp = hp - 8, wpp - 128
+    h, wp = hp - 2 * row_base, wpp - 128
     assert wp % wt == 0 and h % rows == 0
     kernel = functools.partial(
         _kernel, rows=rows, wt=wt, cin=cin, h=img_h, w=img_w, nbr=nbr,
-        nsteps=h // rows, unroll=unroll, out_dtype=x_pad.dtype)
+        nsteps=h // rows, unroll=unroll, out_dtype=x_pad.dtype,
+        row_base=row_base)
     dt = x_pad.dtype
+    if gate is None:
+        gate_w = jnp.ones((bsz, cin, wt + 8), dt)
+    else:
+        gate_w = jnp.broadcast_to(gate.astype(dt)[:, :, None],
+                                  (bsz, cin, wt + 8))
     return pl.pallas_call(
         kernel,
         grid=(bsz, wp // wt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)] +
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)] +
                  [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((bsz, h, cin, wp), dt),
@@ -225,4 +244,4 @@ def resblock_pair_hcw(x_pad: jnp.ndarray, skip: jnp.ndarray,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
-    )(x_pad, skip, w11d, b11, w12d, b12, w21d, b21, w22d, b22)
+    )(x_pad, skip, gate_w, w11d, b11, w12d, b12, w21d, b21, w22d, b22)

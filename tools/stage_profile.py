@@ -47,8 +47,10 @@ def timeit(f, *args, n_warm=1, n_rep=3):
 def main():
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     H, W, nf, nbr = 272, 480, 64, 6
+    fused = "--fused" in sys.argv
     cfg = ModelConfig(mask_mode="expected", compute_dtype=jnp.bfloat16,
-                      fused_trunk=True)
+                      fused_trunk=True, fused_embed=fused,
+                      fused_align=fused)
     model = CVSRV8(cfg)
     rng = np.random.RandomState(0)
 
@@ -83,21 +85,42 @@ def main():
     nuf = t(k, nbr, H, W, nf)
     nmv = jnp.asarray(rng.randn(k, nbr, H, W, 2).astype(np.float32))
 
-    @jax.jit
-    def align(p, cl1, nfi, nuf, nmv):
-        dt = cfg.compute_dtype
-        out = jnp.float32(0)
-        for i in range(CH):
-            center_rep = jnp.broadcast_to(
-                cl1.astype(dt)[:, None] + out.astype(dt) * 1e-20,
-                (k, nbr, H, W, nf)).reshape(k * nbr, H, W, nf)
-            a = model.apply(
-                p, center_rep, nfi.astype(dt).reshape(k * nbr, H, W, nf),
-                nuf.astype(dt).reshape(k * nbr, H, W, nf),
-                nmv.astype(dt).reshape(k * nbr, H, W, 2),
-                method=lambda m, *a: m.mv_deform_align(*a))
-            out = jnp.sum(a).astype(jnp.float32)
-        return out
+    if fused:
+        from cdfo_tpu.ops.warp import flow_warp
+
+        @jax.jit
+        def align(p, cl1, nfi, nuf, nmv):
+            dt = cfg.compute_dtype
+            out = jnp.float32(0)
+            for i in range(CH):
+                c = cl1.astype(dt) + out.astype(dt) * 1e-20
+                chcw = jnp.transpose(c, (0, 1, 3, 2))
+                warped = flow_warp(
+                    nfi.astype(dt).reshape(k * nbr, H, W, nf),
+                    nmv.astype(dt).reshape(k * nbr, H, W, 2))
+                a = model.apply(
+                    p, None, None,
+                    nuf.astype(dt).reshape(k * nbr, H, W, nf),
+                    None, warped, chcw, c,
+                    method=lambda m, *ar: m.mv_deform_align(*ar))
+                out = jnp.sum(a).astype(jnp.float32)
+            return out
+    else:
+        @jax.jit
+        def align(p, cl1, nfi, nuf, nmv):
+            dt = cfg.compute_dtype
+            out = jnp.float32(0)
+            for i in range(CH):
+                center_rep = jnp.broadcast_to(
+                    cl1.astype(dt)[:, None] + out.astype(dt) * 1e-20,
+                    (k, nbr, H, W, nf)).reshape(k * nbr, H, W, nf)
+                a = model.apply(
+                    p, center_rep, nfi.astype(dt).reshape(k * nbr, H, W, nf),
+                    nuf.astype(dt).reshape(k * nbr, H, W, nf),
+                    nmv.astype(dt).reshape(k * nbr, H, W, 2),
+                    method=lambda m, *a: m.mv_deform_align(*a))
+                out = jnp.sum(a).astype(jnp.float32)
+            return out
 
     dt_align = timeit(align, params, cl1, nfi, nuf, nmv) / CH
 
