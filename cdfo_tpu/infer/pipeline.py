@@ -173,8 +173,17 @@ def synthetic_sequence(t: int = 12, h: int = 64, w: int = 96,
     pm = (r.rand(t, h, w) > 0.5).astype(np.float32)
     rm = (r.rand(t, h, w).astype(np.float32) - 0.5) * 0.2
     uf = np.clip(lr + r.randn(t, h, w).astype(np.float32) * 0.02, 0, 1)
+    # MV maps are PIECEWISE CONSTANT over 4x4 pixel blocks, like the real
+    # coding priors (HEVC motion vectors live on >=4x4 luma partitions and
+    # the dataset's per-pixel maps replicate the block MV —
+    # `opt/data_LD_bi.py:91`); blockiness also exercises the tiled warp
+    # fast path (`ops/warp.py::flow_warp_ring`). Non-4-divisible extents
+    # fall back to per-pixel variation in the remainder band.
+    hb, wb = -(-h // 4), -(-w // 4)
     mv = np.zeros((t, h, w, 3), np.float32)
-    mv[..., 0] = r.randint(-16, 16, (t, h, w))
-    mv[..., 1] = r.randint(-16, 16, (t, h, w))
+    for ax in (0, 1):
+        blk = r.randint(-16, 16, (t, hb, wb)).astype(np.float32)
+        mv[..., ax] = np.repeat(np.repeat(blk, 4, axis=1), 4,
+                                axis=2)[:, :h, :w]
     mv[..., 2] = -1
     return SequenceData(lr, pm, rm, uf, mv, mv.copy())
