@@ -46,11 +46,29 @@ class BatchedStreamingEngine:
         self._needs_rng = bool(cfg and cfg.mask_mode == "sample")
         self.mask_rng = (mask_rng if mask_rng is not None
                          else jax.random.PRNGKey(0))
+        self._boot, self._step = self._build_fns()
+        # modular ring geometry: capacity >= k+6, multiple of k so every
+        # step's k-frame write is one contiguous dynamic_update_slice;
+        # logical frame position p lives in slot (p + S) % L
+        self._L = k * (-(-(k + nframes - 1) // k))
+        self._S = (k - (nframes // 2)) % k
+
+    # -- jitted device functions (overridden by the sharded engine) ------
+
+    def _comp_fn(self):
+        model = self.model
+        needs = self._needs_rng
 
         def comp(params, lrs, pms, rms, ufs, rng):
-            rngs = {"gumbel": rng} if self._needs_rng else None
+            rngs = {"gumbel": rng} if needs else None
             return model.apply(params, lrs, pms, rms, ufs,
                                method="compensate_frames", rngs=rngs)
+
+        return comp
+
+    def _step_fn(self, comp):
+        model = self.model
+        needs = self._needs_rng
 
         def step(params, ring_l1, ring_fi, ring_uf, lrs, pms, rms, ufs,
                  mvs, center_lr, idx, cidx, slot0, rng):
@@ -69,7 +87,7 @@ class BatchedStreamingEngine:
             sr = model.apply(params, ring_l1[cidx], center_lr,
                              ring_fi, ring_uf[idx], mvs, idx,
                              method="align_reconstruct",
-                             rngs={"gumbel": rng} if self._needs_rng else None)
+                             rngs={"gumbel": rng} if needs else None)
             # quantize on device: the fp32 SR readback is 33 MB/step
             # through the tunnel; uint8 is 8 MB. Same truncation semantics
             # as the reference (`test_LD_37.py:179-180`: clamp(0,1)*255
@@ -77,13 +95,22 @@ class BatchedStreamingEngine:
             sr8 = (jnp.clip(sr[..., 0], 0.0, 1.0) * 255.0).astype(jnp.uint8)
             return sr8, ring_l1, ring_fi, ring_uf
 
-        self._boot = jax.jit(comp)
-        self._step = jax.jit(step, donate_argnums=(1, 2, 3))
-        # modular ring geometry: capacity >= k+6, multiple of k so every
-        # step's k-frame write is one contiguous dynamic_update_slice;
-        # logical frame position p lives in slot (p + S) % L
-        self._L = k * (-(-(k + nframes - 1) // k))
-        self._S = (k - (nframes // 2)) % k
+        return step
+
+    def _build_fns(self):
+        comp = self._comp_fn()
+        return (jax.jit(comp),
+                jax.jit(self._step_fn(comp), donate_argnums=(1, 2, 3)))
+
+    def _put_boot(self, tree):
+        return jax.tree.map(jax.device_put, tree)
+
+    def _put_staged(self, tree):
+        return jax.tree.map(jax.device_put, tree)
+
+    def _place_rings(self, rings):
+        """Hook: sharded engines replicate the rings across the mesh."""
+        return rings
 
     # -- host-side input prep (outside the timed region) -----------------
 
@@ -122,8 +149,7 @@ class BatchedStreamingEngine:
         # step's update leaves the ring covering [-3 .. k+2])
         boot_frames = [min(max(f, 0), t - 1)
                        for f in range(-k - half, half)]
-        binp = jax.tree.map(jax.device_put,
-                            self._frame_inputs(data, boot_frames))
+        binp = self._put_boot(self._frame_inputs(data, boot_frames))
         for a in binp:  # force uploads to land (axon: see sync() below)
             float(jnp.sum(a.astype(jnp.float32)))
         rng, sub = jax.random.split(rng)
@@ -138,7 +164,7 @@ class BatchedStreamingEngine:
                                 ).at[bslots].set(bfi)
             ring_uf = jnp.zeros((L,) + buf.shape[1:], buf.dtype
                                 ).at[bslots].set(buf)
-            return ring_l1, ring_fi, ring_uf
+            return self._place_rings((ring_l1, ring_fi, ring_uf))
 
         if not collect_timing:
             ring_l1, ring_fi, ring_uf = boot()
@@ -163,7 +189,7 @@ class BatchedStreamingEngine:
                              for p in poffs] for c in centers], np.int32)
             cidx = np.array([(c + S) % L for c in centers], np.int32)
             slot0 = np.int32((j + half + S) % L)
-            return jax.tree.map(jax.device_put, (
+            return self._put_staged((
                 *ninp, mvs.astype(np.float32),
                 center_lr.astype(np.float32), idx, cidx, slot0))
 
