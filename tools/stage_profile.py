@@ -72,7 +72,9 @@ def main():
         out = jnp.float32(0)
         for i in range(CH):
             # chain through a scalar so XLA cannot dead-code-eliminate
-            l1, fi, uf = model.apply(p, lrs + out * 1e-20, pms, rms, ufs,
+            l1, fi, uf = model.apply(p, lrs + out * 1e-20,
+                                     pms + out * 1e-20, rms + out * 1e-20,
+                                     ufs + out * 1e-20,
                                      method="compensate_frames")
             out = jnp.sum(fi).astype(jnp.float32)
         return out
@@ -85,6 +87,10 @@ def main():
     nuf = t(k, nbr, H, W, nf)
     nmv = jnp.asarray(rng.randn(k, nbr, H, W, 2).astype(np.float32))
 
+    # EVERY input must be data-linked to the chain tap: XLA loop-hoists
+    # any subgraph that depends only on un-tapped inputs (the warp was
+    # silently hoisted out of this chain for a whole round, reading 4x
+    # too cheap — ROUND3_NOTES measurement traps).
     if fused:
         from cdfo_tpu.ops.warp import flow_warp
 
@@ -93,14 +99,15 @@ def main():
             dt = cfg.compute_dtype
             out = jnp.float32(0)
             for i in range(CH):
-                c = cl1.astype(dt) + out.astype(dt) * 1e-20
+                tap = out.astype(dt) * 1e-20
+                c = cl1.astype(dt) + tap
                 chcw = jnp.transpose(c, (0, 1, 3, 2))
                 warped = flow_warp(
-                    nfi.astype(dt).reshape(k * nbr, H, W, nf),
-                    nmv.astype(dt).reshape(k * nbr, H, W, 2))
+                    nfi.astype(dt).reshape(k * nbr, H, W, nf) + tap,
+                    nmv.astype(dt).reshape(k * nbr, H, W, 2) + tap)
                 a = model.apply(
                     p, None, None,
-                    nuf.astype(dt).reshape(k * nbr, H, W, nf),
+                    nuf.astype(dt).reshape(k * nbr, H, W, nf) + tap,
                     None, warped, chcw, c,
                     method=lambda m, *ar: m.mv_deform_align(*ar))
                 out = jnp.sum(a).astype(jnp.float32)
@@ -111,13 +118,15 @@ def main():
             dt = cfg.compute_dtype
             out = jnp.float32(0)
             for i in range(CH):
+                tap = out.astype(dt) * 1e-20
                 center_rep = jnp.broadcast_to(
-                    cl1.astype(dt)[:, None] + out.astype(dt) * 1e-20,
+                    cl1.astype(dt)[:, None] + tap,
                     (k, nbr, H, W, nf)).reshape(k * nbr, H, W, nf)
                 a = model.apply(
-                    p, center_rep, nfi.astype(dt).reshape(k * nbr, H, W, nf),
-                    nuf.astype(dt).reshape(k * nbr, H, W, nf),
-                    nmv.astype(dt).reshape(k * nbr, H, W, 2),
+                    p, center_rep,
+                    nfi.astype(dt).reshape(k * nbr, H, W, nf) + tap,
+                    nuf.astype(dt).reshape(k * nbr, H, W, nf) + tap,
+                    nmv.astype(dt).reshape(k * nbr, H, W, 2) + tap,
                     method=lambda m, *a: m.mv_deform_align(*a))
                 out = jnp.sum(a).astype(jnp.float32)
             return out
@@ -165,7 +174,7 @@ def main():
         for i in range(CH):
             o = model.apply(p, cl1 + out * 1e-20, lr,
                             qring + out.astype(qring.dtype) * 1e-20,
-                            nuf, nmv, nidx,
+                            nuf + out * 1e-20, nmv + out * 1e-20, nidx,
                             method="align_reconstruct")
             out = jnp.sum(o).astype(jnp.float32)
         return out
