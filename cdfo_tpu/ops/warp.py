@@ -12,6 +12,8 @@ sample at ``grid + flow`` directly. Out-of-range taps contribute zero
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -176,7 +178,8 @@ def _warp_from_quad(quad, sx, sy, h, w):
 
 
 def flow_warp_ring(quad_ring: jnp.ndarray, frame_idx: jnp.ndarray,
-                   flow: jnp.ndarray) -> jnp.ndarray:
+                   flow: jnp.ndarray, tiled: bool | None = None
+                   ) -> jnp.ndarray:
     """Warp frames picked from a quad-packed RING by per-image flows, with
     the frame selection COMPOSED into the pixel gather (one gather total —
     the ring is never copied per consumer).
@@ -215,7 +218,13 @@ def flow_warp_ring(quad_ring: jnp.ndarray, frame_idx: jnp.ndarray,
     def full_pixel(_):
         return pixel_gather(y0i, x0i)
 
-    if h % 4 == 0 and w % 4 == 0 and h >= 8:
+    if tiled is None:
+        # default OFF until the tile path has an end-to-end run on real
+        # hardware inside the full engine program (a TPU-worker crash
+        # coincided with its first full-program run; the kernel-level
+        # equivalence run was clean — see ROUND3_NOTES)
+        tiled = os.environ.get("CDFO_TILED_WARP", "0") == "1"
+    if tiled and h % 4 == 0 and w % 4 == 0 and h >= 8:
         hb = h - 4
 
         def tiled(_):
