@@ -42,8 +42,11 @@ def main():
     from cdfo_tpu.infer.pipeline import synthetic_sequence
 
     dt = jax.numpy.bfloat16 if args.bf16 else jax.numpy.float32
+    # same kernel set as the headline bench.py
     model = CVSRV8(ModelConfig(mask_mode="expected", compute_dtype=dt,
-                               fused_trunk=args.fused))
+                               fused_trunk=args.fused,
+                               fused_embed=args.fused,
+                               fused_align=args.fused))
 
     results = {}
     for name, (h, w) in GEOMETRIES.items():
