@@ -32,6 +32,11 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true",
                    help="generate + train on a tiny synthetic CVCP tree")
     p.add_argument("--cpu", action="store_true", help="force CPU devices")
+    p.add_argument("--fused-trunk", action="store_true",
+                   help="train through the Pallas trunk/head kernels "
+                        "(exact custom-VJP backward, ops/fused_vjp.py)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (fp32 params/loss)")
     p.add_argument("--eval-lr-dir", default="",
                    help="validation sequence LR dir (periodic eval)")
     p.add_argument("--eval-side-dir", default="")
@@ -60,7 +65,10 @@ def main():
         seed=args.seed,
         ckpt_dir=args.ckpt_dir,
     )
-    model_cfg = ModelConfig()
+    import jax.numpy as jnp
+    _mkw = dict(fused_trunk=args.fused_trunk,
+                compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    model_cfg = ModelConfig(**_mkw)
 
     data_root = args.data_root
     spe = args.steps_per_epoch or None
@@ -76,7 +84,7 @@ def main():
         train_cfg = TrainConfig(batch_size=2, epochs=args.epochs,
                                 val_interval=max(1, args.epochs),
                                 ckpt_dir=args.ckpt_dir, seed=args.seed)
-        model_cfg = ModelConfig(scn_groups=1)
+        model_cfg = ModelConfig(scn_groups=1, **_mkw)
         spe = spe or 2
 
     eval_fn = None
