@@ -1,5 +1,5 @@
 # cdfo_tpu — common entry points
-.PHONY: test test-fast bench fps dryrun native flops train-smoke eval-smoke
+.PHONY: test test-fast bench fps serve dryrun native flops train-smoke eval-smoke
 
 test:              ## full suite on the virtual 8-device CPU mesh
 	python -m pytest tests/ -q
@@ -12,6 +12,9 @@ bench:             ## headline 1080p x4 streaming fps (real chip)
 
 fps:               ## 3-geometry FPS harness (test_LD_22_FPS protocol)
 	python tools/bench_fps.py
+
+serve:             ## sharded streaming-serving demo (all devices)
+	python tools/serve.py
 
 dryrun:            ## multi-chip training-step dry run on a virtual mesh
 	python __graft_entry__.py
