@@ -41,6 +41,9 @@ class ModelConfig:
     # fused dual-MSA alignment (ops/fused_align.py) on the streaming
     # path — numerics-preserving; needs use_mv and use_pd
     fused_align: bool = False
+    # fused EGLA kernels (ops/fused_egla.py) — expected-mask mode only
+    # (falls back to the standard path under mask_mode='sample')
+    fused_egla: bool = False
     compute_dtype: Any = jnp.float32
 
     @property

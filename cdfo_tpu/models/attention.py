@@ -157,6 +157,7 @@ class EGLA(nn.Module):
     in_dim: int = 64
     window_size: int = 8
     mask_mode: str = "sample"
+    fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -171,6 +172,14 @@ class EGLA(nn.Module):
         v = jnp.mean(v, axis=(1, 2), keepdims=True)  # GAP -> (B,1,1,C)
         v = Conv2d(self.in_dim, 1, 1, 0, dtype=self.dtype, name="conv_du_re2_0")(v)
         v = jax.nn.relu(v)
+        if self.fused and self.mask_mode == "expected":
+            # the noise-free mask is per-(frame, channel) constant, which
+            # lets the mask multiply and the channel-band conv COMPOSE
+            # into the q projection — the whole module runs as the two
+            # kernels in ops/fused_egla.py + the existing column kernel
+            rm = jax.nn.softmax(v.astype(jnp.float32), axis=-1)
+            mask = (rm[:, 0, 0, :] >= 0.5).astype(jnp.float32)  # (B, C)
+            return self._fused_call(mask, x)
         # bilinear 1x1 -> (h,w) is a constant broadcast; then per-pixel gumbel
         if self.mask_mode == "sample":
             v = jnp.broadcast_to(v, (b, h, w, c)).astype(jnp.float32)
@@ -232,3 +241,53 @@ class EGLA(nn.Module):
         out = Conv2d(self.in_dim, 1, 1, 0, dtype=self.dtype, name="fuse")(
             jnp.concatenate([long_out, loc_out], axis=-1))
         return out + x
+
+    def _fused_call(self, mask, x):
+        """Fused EGLA (ops/fused_egla.py): eg1 (q/v projection + channel
+        band + row attention + H band) -> column kernel -> eg2 (window
+        attention + fusion + residual). Params share the standard tree
+        paths (raw declarations)."""
+        from ..ops.fused_egla import eg1_rows, eg2_local_fuse
+        from .trunk_fast import _ConvParams
+
+        c = self.in_dim
+        dt = self.dtype
+        b, h, w, _ = x.shape
+        ki, bi = _ConvParams(1, 1, c, 2 * c, scaled_init=False,
+                             name="input_conv")()
+        kf, bf = _ConvParams(1, 1, 2 * c, c, scaled_init=False,
+                             name="fuse")()
+        w1_k = self.param("directW1_kernel", nn.initializers.normal(0.1), (9,))
+        w1_b = self.param("directW1_bias", nn.initializers.zeros, ())
+        h1_k = self.param("directH1_kernel", nn.initializers.normal(0.1), (9,))
+        h1_b = self.param("directH1_bias", nn.initializers.zeros, ())
+
+        f32 = jnp.float32
+        kiq = ki[0, 0].astype(f32)                   # (C, 2C)
+        wq, wv = kiq[:, :c], kiq[:, c:]
+        bq, bv_in = bi.astype(f32)[:c], bi.astype(f32)[c:]
+        mc = _band_matrix(w1_k.astype(f32), c)       # (C, C) channel band
+        aq = jnp.einsum("io,bo,oc->bic", wq, mask, mc)
+        cq = jnp.einsum("bo,oc->bc", mask * bq[None], mc) + w1_b
+        bv_mat = wv @ mc
+        cv = (bv_in @ mc + w1_b)[None]
+        h9 = jnp.concatenate([h1_k.astype(f32), h1_b[None].astype(f32)])
+
+        rows = 16
+        rpad = (-h) % rows
+        xp = (jnp.pad(x, ((0, 0), (0, rpad), (0, 0), (0, 0)))
+              if rpad else x)
+        qc, vr = eg1_rows(xp.astype(dt), aq.astype(dt), cq.astype(dt),
+                          bv_mat.astype(dt), cv.astype(dt), h9,
+                          img_h=h, rows=rows)
+        long_out = column_self_attention(qc[:, :h], vr[:, :h])
+
+        kfv = kf[0, 0].astype(f32)                   # (2C, C)
+        out = eg2_local_fuse(
+            x.astype(dt), long_out.astype(dt),
+            wq.astype(dt), bq[None].astype(dt),
+            wv.astype(dt), bv_in[None].astype(dt),
+            (1.0 - mask).astype(dt),
+            kfv[:c].astype(dt), kfv[c:].astype(dt),
+            bf[None].astype(dt), img_h=h, ws=self.window_size)
+        return out

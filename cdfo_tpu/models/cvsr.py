@@ -209,7 +209,8 @@ class CVSRV8(nn.Module):
         if not cfg.use_ga:          # CVSR_V8_woGA (`:4723,4774`)
             from .attention_variants import EGLAwoGA
             return EGLAwoGA(cfg.nf, dtype=dt, name="RDAB")
-        return EGLA(cfg.nf, mask_mode=cfg.mask_mode, dtype=dt, name="RDAB")
+        return EGLA(cfg.nf, mask_mode=cfg.mask_mode, fused=cfg.fused_egla,
+                    dtype=dt, name="RDAB")
 
     def embed(self, frames, pms):
         """Shared-weight feature extraction for a stack of frames.
