@@ -133,9 +133,12 @@ def _block_features(block_stack: np.ndarray) -> np.ndarray:
     return np.asarray(feat, np.float64)
 
 
-def ilniqe(img: np.ndarray, mu_pris, cov_pris, principle_vectors,
-           mean_of_sample, resize: bool = True, block_size: int = 84) -> float:
-    """img: (H, W, 3) RGB float64 in [0, 255]."""
+def ilniqe_features(img: np.ndarray, resize: bool = True,
+                    block_size: int = 84) -> np.ndarray:
+    """Per-block ILNIQE feature matrix (n_blocks, F) over both scales —
+    the shared front half of scoring (:func:`ilniqe`) and template
+    fitting (`fit.py::fit_ilniqe_template`). img: (H, W, 3) RGB float64
+    in [0, 255]."""
     sigma_gau_der = 1.66
     k_for_log = 1e-5
     normalized_width = 524
@@ -148,8 +151,6 @@ def ilniqe(img: np.ndarray, mu_pris, cov_pris, principle_vectors,
         chans = [imresize(img[..., c] / 255.0,
                           normalized_width / img.shape[0])
                  for c in range(3)]
-        # MATLAB imresize to exact square
-        from .matlab import _resize_weights
         img = np.stack([np.clip(c * 255.0, 0, 255) for c in chans], -1)
         img = img[:normalized_width, :normalized_width]
 
@@ -212,7 +213,13 @@ def ilniqe(img: np.ndarray, mu_pris, cov_pris, principle_vectors,
                             for c in range(3)], -1)
 
     feats = np.concatenate(feats_scales, axis=1)
-    feats = np.clip(feats, -np.inf, inf_const)
+    return np.clip(feats, -np.inf, inf_const)
+
+
+def ilniqe(img: np.ndarray, mu_pris, cov_pris, principle_vectors,
+           mean_of_sample, resize: bool = True, block_size: int = 84) -> float:
+    """img: (H, W, 3) RGB float64 in [0, 255]."""
+    feats = ilniqe_features(img, resize=resize, block_size=block_size)
 
     coeffs = principle_vectors.T @ (feats - mean_of_sample[None]).T
     final = coeffs.T                                  # (blocks, feat)
@@ -234,8 +241,11 @@ def normalize_img_with_gauss5(img: np.ndarray) -> np.ndarray:
 
 
 def calculate_ilniqe(img: np.ndarray, params_path: str,
-                     crop_border: int = 0) -> float:
-    """img: (H, W, 3) RGB uint8/float [0, 255]."""
+                     crop_border: int = 0, resize: bool = True) -> float:
+    """img: (H, W, 3) RGB uint8/float [0, 255]. ``resize`` selects the
+    official normalise-to-524 protocol; scoring must use the SAME setting
+    the template was fitted with (`fit.py::fit_ilniqe_template`) or the
+    pristine statistics don't line up."""
     import scipy.io
 
     params = scipy.io.loadmat(params_path)
@@ -255,4 +265,5 @@ def calculate_ilniqe(img: np.ndarray, params_path: str,
     img = np.round(np.asarray(img, np.float64))
     if crop_border:
         img = img[crop_border:-crop_border, crop_border:-crop_border]
-    return ilniqe(img, mu_pris, cov_pris, principle_vectors, mean_of_sample)
+    return ilniqe(img, mu_pris, cov_pris, principle_vectors, mean_of_sample,
+                  resize=resize)

@@ -68,12 +68,19 @@ def compute_feature(block: np.ndarray) -> np.ndarray:
     return np.asarray(feat, np.float64)
 
 
-def normalize_img_with_gauss(img: np.ndarray) -> np.ndarray:
-    """MSCN coefficients: 7x7 gaussian (sigma 7/6), replicate padding."""
+def mscn_and_sigma(img: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """MSCN coefficients + the local sigma field: 7x7 gaussian (sigma 7/6),
+    replicate padding. The sigma field drives the pristine-model block
+    sharpness selection (`fit.py`)."""
     kernel = fspecial_gaussian(7, 7.0 / 6.0)
     mu = imfilter_replicate(img, kernel)
     sigma = np.sqrt(np.abs(imfilter_replicate(img * img, kernel) - mu * mu))
-    return (img - mu) / (sigma + 1.0)
+    return (img - mu) / (sigma + 1.0), sigma
+
+
+def normalize_img_with_gauss(img: np.ndarray) -> np.ndarray:
+    """MSCN coefficients: 7x7 gaussian (sigma 7/6), replicate padding."""
+    return mscn_and_sigma(img)[0]
 
 
 def niqe(img: np.ndarray, mu_pris: np.ndarray, cov_pris: np.ndarray,
@@ -103,7 +110,7 @@ def niqe(img: np.ndarray, mu_pris: np.ndarray, cov_pris: np.ndarray,
     cov_dist = np.cov(feats[good], rowvar=False)
     invcov = np.linalg.pinv((cov_pris + cov_dist) / 2)
     diff = (mu_pris - mu_dist)[None]
-    quality = float(diff @ invcov @ diff.T)
+    quality = (diff @ invcov @ diff.T).item()
     return float(np.sqrt(quality))
 
 
