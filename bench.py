@@ -43,7 +43,8 @@ def main():
 
     cfg = ModelConfig(mask_mode="expected",
                       compute_dtype=jax.numpy.bfloat16,
-                      fused_trunk=True, fused_embed=True, fused_align=True)
+                      fused_trunk=True, fused_embed=True, fused_align=True,
+                      fused_egla=True)
     model = CVSRV8(cfg)
 
     h, w, t, k = 272, 480, 100, 4

@@ -56,7 +56,7 @@ def _eg1_kernel(xp_ref, xc_ref, xn_ref, aq_ref, cq_ref, bv_ref, cv_ref,
     i = pl.program_id(1)
     f32 = jnp.float32
     aq = aq_ref[0]                   # (C, C) per-frame composed q proj
-    cq = cq_ref[0]                   # (C,) row bias
+    cq = cq_ref[0, 0]                # (C,) row bias
     bv = bv_ref[:]                   # (C, C) shared v proj
     cv = cv_ref[0]
     R = rows
@@ -121,7 +121,10 @@ def eg1_rows(x, aq, cq, bv, cv, h9, *, img_h: int, rows: int = 16):
         grid=(m, nsteps),
         in_specs=[blk_p, blk, blk_n,
                   pl.BlockSpec((1, cin, cin), lambda b, i: (b, 0, 0)),
-                  pl.BlockSpec((1, cin), lambda b, i: (b, 0)),
+                  # per-frame vectors ride as (M, 1, C): a (1, C) block
+                  # over (M, C) is illegal on hardware (sublane block 1
+                  # is neither 8-divisible nor the full M extent)
+                  pl.BlockSpec((1, 1, cin), lambda b, i: (b, 0, 0)),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -133,7 +136,7 @@ def eg1_rows(x, aq, cq, bv, cv, h9, *, img_h: int, rows: int = 16):
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
-    )(x, x, x, aq, cq, bv, cv, h9.astype(jnp.float32))
+    )(x, x, x, aq, cq.reshape(m, 1, cin), bv, cv, h9.astype(jnp.float32))
 
 
 def _eg2_kernel(x_ref, lg_ref, wq_ref, bq_ref, wv_ref, bvv_ref,
@@ -145,7 +148,7 @@ def _eg2_kernel(x_ref, lg_ref, wq_ref, bq_ref, wv_ref, bvv_ref,
     wv = wv_ref[:]
     bq = bq_ref[0].astype(f32)
     bvv = bvv_ref[0].astype(f32)
-    mi = mi_ref[0].astype(f32)       # (C,) inverse mask (1 - m)
+    mi = mi_ref[0, 0].astype(f32)    # (C,) inverse mask (1 - m)
     fa = fa_ref[:]                   # (C, C) fuse rows for long
     fb = fb_ref[:]                   # (C, C) fuse rows for local
     bf = bf_ref[0].astype(f32)
@@ -202,7 +205,8 @@ def eg2_local_fuse(x, long_out, wq, bq, wv, bv, mask_inv, fa, fb, bf, *,
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, cin), lambda b, i: (b, 0)),
+                  # (M, 1, C) for the same hardware block rule as eg1's cq
+                  pl.BlockSpec((1, 1, cin), lambda b, i: (b, 0, 0)),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -212,4 +216,4 @@ def eg2_local_fuse(x, long_out, wq, bq, wv, bv, mask_inv, fa, fb, bf, *,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
-    )(x, long_out, wq, bq, wv, bv, mask_inv, fa, fb, bf)
+    )(x, long_out, wq, bq, wv, bv, mask_inv.reshape(m, 1, cin), fa, fb, bf)
