@@ -218,12 +218,16 @@ def flow_warp_ring(quad_ring: jnp.ndarray, frame_idx: jnp.ndarray,
     def full_pixel(_):
         return pixel_gather(y0i, x0i)
 
+    mode = os.environ.get("CDFO_TILED_WARP", "0")
     if tiled is None:
-        # default OFF until the tile path has an end-to-end run on real
-        # hardware inside the full engine program (a TPU-worker crash
-        # coincided with its first full-program run; the kernel-level
-        # equivalence run was clean — see ROUND3_NOTES)
-        tiled = os.environ.get("CDFO_TILED_WARP", "0") == "1"
+        # default OFF: in-program runs of this path crashed the TPU
+        # worker process 3/3 times on the current toolchain (kernel
+        # fault inside the full engine program; the standalone
+        # kernel-equivalence run was clean — ROUND3_NOTES). "1" enables
+        # the guarded path (runtime cond + exact fallback), "2"
+        # additionally drops the cond and trusts the caller that flows
+        # are 4x4-blockwise (true for HEVC coding priors).
+        tiled = mode in ("1", "2")
     if tiled and h % 4 == 0 and w % 4 == 0 and h >= 8:
         hb = h - 4
 
@@ -245,10 +249,13 @@ def flow_warp_ring(quad_ring: jnp.ndarray, frame_idx: jnp.ndarray,
             qs = pixel_gather(y0i[:, hb:], x0i[:, hb:])
             return jnp.concatenate([qt, qs], axis=1)
 
-        blk = flow[:, :hb]
-        blocky = jnp.all(blk == jnp.repeat(
-            jnp.repeat(blk[:, ::4, ::4], 4, axis=1), 4, axis=2))
-        q = jax.lax.cond(blocky, tiled, full_pixel, None)
+        if mode == "2":
+            q = tiled(None)     # caller-asserted blockwise flows, no cond
+        else:
+            blk = flow[:, :hb]
+            blocky = jnp.all(blk == jnp.repeat(
+                jnp.repeat(blk[:, ::4, ::4], 4, axis=1), 4, axis=2))
+            q = jax.lax.cond(blocky, tiled, full_pixel, None)
     else:
         q = full_pixel(None)
     out = _quad_bilerp(q, x0i, y0i, wx1, wy1, h, w)

@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_config(tag: str, egla: bool, tiled: bool, t: int = 16) -> str:
+def run_config(tag: str, egla: bool, tiled: int, t: int = 16) -> str:
     import jax
 
     cache = os.path.expanduser("~/.cache/jax_cdfo")
@@ -34,7 +34,7 @@ def run_config(tag: str, egla: bool, tiled: bool, t: int = 16) -> str:
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-    os.environ["CDFO_TILED_WARP"] = "1" if tiled else "0"
+    os.environ["CDFO_TILED_WARP"] = str(int(tiled))  # 0 off, 1 guarded, 2 no-cond
 
     from cdfo_tpu.config import ModelConfig
     from cdfo_tpu.models import CVSRV8
@@ -90,7 +90,7 @@ def main():
     args = p.parse_args()
     if args.compare:
         return compare(*args.compare)
-    run_config(args.tag, bool(args.egla), bool(args.tiled), t=args.frames)
+    run_config(args.tag, bool(args.egla), args.tiled, t=args.frames)
     return 0
 
 
