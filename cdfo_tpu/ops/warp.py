@@ -220,13 +220,15 @@ def flow_warp_ring(quad_ring: jnp.ndarray, frame_idx: jnp.ndarray,
 
     mode = os.environ.get("CDFO_TILED_WARP", "0")
     if tiled is None:
-        # default OFF: in-program runs of this path crashed the TPU
-        # worker process 3/3 times on the current toolchain (kernel
-        # fault inside the full engine program; the standalone
-        # kernel-equivalence run was clean — ROUND3_NOTES). "1" enables
-        # the guarded path (runtime cond + exact fallback), "2"
-        # additionally drops the cond and trusts the caller that flows
-        # are 4x4-blockwise (true for HEVC coding priors).
+        # RETIRED on the current toolchain: the multi-pixel-slice
+        # lax.gather below crashes the TPU worker process inside the
+        # full engine program — 4/4 in-program runs (with AND without
+        # the lax.cond; fused-EGLA-only runs are clean), while the
+        # standalone kernel-equivalence run passes. The construct is
+        # kept behind this env for future toolchains: "1" = guarded
+        # path (runtime blockiness cond + exact per-pixel fallback),
+        # "2" = no cond, caller asserts 4x4-blockwise flows (true for
+        # HEVC coding priors). See ROUND3_NOTES / BENCH_NOTES.
         tiled = mode in ("1", "2")
     if tiled and h % 4 == 0 and w % 4 == 0 and h >= 8:
         hb = h - 4
