@@ -143,13 +143,17 @@ class CVSRV7(nn.Module):
             fea_i = conv_expand_fea_r(jnp.concatenate([fea_nb, x_n], axis=-1))
             cen_rep = jnp.tile(cen, (m, 1, 1, 1))
 
-            def aligned_with(mvs):
-                mv = jnp.concatenate(
-                    [mv_at(mvs, i, pyr_i) for i in nbr_idx], axis=0)
-                return align(cen_rep, fea_i, ufs_p, mv)
-
-            back = aligned_with(mvs0)
-            fwd = aligned_with(mvs1)
+            # both alignment directions in ONE batched call (weights are
+            # shared, so stacking backward/forward along batch is exact);
+            # halves the traced DCN call sites per level — V7's XLA
+            # compile time was dominated by the 6 unrolled align graphs
+            mv_both = jnp.concatenate(
+                [mv_at(mvs, i, pyr_i) for mvs in (mvs0, mvs1)
+                 for i in nbr_idx], axis=0)
+            both = align(jnp.tile(cen_rep, (2, 1, 1, 1)),
+                         jnp.tile(fea_i, (2, 1, 1, 1)),
+                         jnp.tile(ufs_p, (2, 1, 1, 1)), mv_both)
+            back, fwd = both[:m * b], both[m * b:]
             fused = fb_fusion(jnp.concatenate([back, fwd], axis=-1))
             fused = fused.reshape(m, b, hh, ww, nf).transpose(1, 0, 2, 3, 4)
             parts = []

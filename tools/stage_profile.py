@@ -50,7 +50,7 @@ def main():
     fused = "--fused" in sys.argv
     cfg = ModelConfig(mask_mode="expected", compute_dtype=jnp.bfloat16,
                       fused_trunk=True, fused_embed=fused,
-                      fused_align=fused)
+                      fused_align=fused, fused_egla=fused)
     model = CVSRV8(cfg)
     rng = np.random.RandomState(0)
 
