@@ -44,6 +44,15 @@ class ModelConfig:
     # fused EGLA kernels (ops/fused_egla.py) — expected-mask mode only
     # (falls back to the standard path under mask_mode='sample')
     fused_egla: bool = False
+    # wide-packed ring warp (ops/warp.py::wide_pack +
+    # flow_warp_ring_wide): one row-gather per 4-aligned output group
+    # when flows are W-blockwise (HEVC MV granularity), exact per-pixel
+    # fallback otherwise. MEASURED NEGATIVE on the current toolchain
+    # (8.29 vs 9.67 fps, bit-identical output — the 2.5x ring
+    # build/update cost and the 1.25 KB gather rows lose more than the
+    # 4x index reduction saves; BENCH_NOTES). Kept for future
+    # toolchains; default off.
+    wide_warp: bool = False
     compute_dtype: Any = jnp.float32
 
     @property

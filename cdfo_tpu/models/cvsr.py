@@ -304,7 +304,7 @@ class CVSRV8(nn.Module):
         feature, built ONCE per frame instead of per window membership —
         and ufs_prior (M, H, W, nf; zeros when use_pd=False)).
         """
-        from ..ops.warp import quad_pack
+        from ..ops.warp import quad_pack, wide_pack
 
         cfg = self.cfg
         dt = cfg.compute_dtype
@@ -314,7 +314,8 @@ class CVSRV8(nn.Module):
             ufs_p = self.conv_expand_ufs(ufs.astype(dt))
         else:
             ufs_p = jnp.zeros_like(l1)
-        return l1, quad_pack(fea_i), ufs_p
+        pack = wide_pack if cfg.wide_warp else quad_pack
+        return l1, pack(fea_i), ufs_p
 
     def align_reconstruct(self, center_l1, center_lr, quad_ring, nbr_ufs_p,
                           nbr_mv, nbr_idx):
@@ -328,7 +329,7 @@ class CVSRV8(nn.Module):
         Returns SR (k, sH, sW, 1). The neighbour warp gathers STRAIGHT from
         the ring (frame index composed into the pixel gather).
         """
-        from ..ops.warp import flow_warp_ring
+        from ..ops.warp import flow_warp_ring, flow_warp_ring_wide
 
         cfg = self.cfg
         dt = cfg.compute_dtype
@@ -338,8 +339,9 @@ class CVSRV8(nn.Module):
         ufs_p = (nbr_ufs_p.astype(dt).reshape(k * nm1, h, w, cfg.nf)
                  if cfg.use_pd else None)
         mv = nbr_mv.astype(dt).reshape(k * nm1, h, w, 2)
-        warped = (flow_warp_ring(quad_ring.astype(dt),
-                                 nbr_idx.reshape(k * nm1), mv)
+        ring_warp = flow_warp_ring_wide if cfg.wide_warp else flow_warp_ring
+        warped = (ring_warp(quad_ring.astype(dt),
+                            nbr_idx.reshape(k * nm1), mv)
                   if cfg.use_mv else None)
         if cfg.fused_trunk:
             # fast tail: alignment exits in row-major (H, C, W); fusion,

@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_config(tag: str, egla: bool, tiled: int, t: int = 16) -> str:
+def run_config(tag: str, egla: bool, tiled: int, wide: bool,
+               t: int = 16) -> str:
     import jax
 
     cache = os.path.expanduser("~/.cache/jax_cdfo")
@@ -50,14 +51,20 @@ def run_config(tag: str, egla: bool, tiled: int, t: int = 16) -> str:
     cfg = ModelConfig(mask_mode="expected",
                       compute_dtype=jax.numpy.bfloat16,
                       fused_trunk=True, fused_embed=True,
-                      fused_align=True, fused_egla=egla)
+                      fused_align=True, fused_egla=egla,
+                      wide_warp=wide)
     model = CVSRV8(cfg)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), dummy,
                                  dummy_mv, dummy_mv, dummy, dummy, dummy)
     eng = BatchedStreamingEngine(model, params, k=k)
+    # warm-up compiles both graphs so the timed fps below is comparable
+    # to bench.py (compile excluded); frames equality is unaffected
+    warm = synthetic_sequence(t=2 * k, h=h, w=w, seed=1)
+    eng.run_sequence(warm)
     t0 = time.time()
     frames, fps = eng.run_sequence(data, collect_timing=True)
-    print(f"[{tag}] egla={egla} tiled={tiled} fps={float(fps):.3f} "
+    print(f"[{tag}] egla={egla} tiled={tiled} wide={wide} "
+          f"fps={float(fps):.3f} "
           f"wall={time.time()-t0:.1f}s", flush=True)
     path = f"/tmp/gates_{tag}.npz"
     np.savez(path, frames=np.asarray(frames, np.float32), fps=float(fps))
@@ -84,13 +91,15 @@ def main():
     p.add_argument("--tag", default="shipped")
     p.add_argument("--egla", type=int, default=0)
     p.add_argument("--tiled", type=int, default=0)
+    p.add_argument("--wide", type=int, default=0)
     p.add_argument("--frames", type=int, default=16)
     p.add_argument("--compare", nargs=2, default=None,
                    help="two tags to diff (no TPU run)")
     args = p.parse_args()
     if args.compare:
         return compare(*args.compare)
-    run_config(args.tag, bool(args.egla), args.tiled, t=args.frames)
+    run_config(args.tag, bool(args.egla), args.tiled, bool(args.wide),
+               t=args.frames)
     return 0
 
 
