@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""MXU dot-shape probe: does sustained TF/s scale with N (RHS width)?
+
+The fused Block_ kernel issues per-row dots shaped like
+  conv1: (256, 192) @ (192, ~516)
+  conv2: ( 64, 768) @ (768, ~516)
+and sustains ~95-98 TF/s — almost exactly half the 197 TF/s bf16 peak.
+M-direction stacking and fold experiments all measured ZERO change
+(BENCH_NOTES), so the open hypothesis is dot-GRANULARITY: each dot pays
+an LHS (weight) load into the systolic array that only N columns of
+streaming amortise. If true, the same FLOPs in N-stacked dots (wider
+RHS, fewer dots) should run closer to peak, and packing the engine's
+k=4 frames side-by-side along W inside the kernel (free N x4, no data
+movement) is the next trunk rewrite. If false, the trunk is at its
+toolchain ceiling and the remaining budget goes elsewhere.
+
+Each (M, K, N) case runs ONE Pallas kernel: fori_loop of T*R dots over
+R distinct resident RHS planes (loop-variant operand — no hoisting),
+accumulating into a VMEM f32 acc that is written out (no DCE).
+
+Run: python tools/microbench_dots.py [--iters 4]
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(lhs_ref, rhs_ref, out_ref, acc_ref, *, reps, nplanes):
+    def body(i, _):
+        r = jax.lax.rem(i, nplanes)
+        acc_ref[:, :] += jax.lax.dot_general(
+            lhs_ref[:], rhs_ref[pl.ds(r, 1)][0],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return _
+
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
+    jax.lax.fori_loop(0, reps, body, 0, unroll=False)
+    out_ref[:, :] = acc_ref[:, :].astype(out_ref.dtype)
+
+
+def bench_case(m, k, n, *, reps, nplanes=4, iters=4):
+    r = np.random.RandomState(0)
+    lhs = jnp.asarray(r.randn(m, k) * 0.1, jnp.bfloat16)
+    rhs = jnp.asarray(r.randn(nplanes, k, n) * 0.1, jnp.bfloat16)
+    fn = pl.pallas_call(
+        functools.partial(_kernel, reps=reps, nplanes=nplanes),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((m, n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() == "cpu",
+    )
+    jfn = jax.jit(lambda a, b: fn(a, b))
+    out = jfn(lhs, rhs)
+    float(jnp.sum(out.astype(jnp.float32)))  # compile + land
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(jnp.sum(jfn(lhs, rhs).astype(jnp.float32)))
+        best = min(best, time.perf_counter() - t0)
+    flops = 2.0 * m * k * n * reps
+    tfs = flops / best / 1e12
+    return best, tfs
+
+
+def bench_case_floorfree(m, k, n, *, iters=4):
+    """Run the same case at two rep counts and difference the times so the
+    ~29-38 ms tunnel readback floor cancels exactly."""
+    reps_hi = max(2, int(4e12 / (2 * m * k * n)))
+    reps_lo = reps_hi // 2
+    t_lo, _ = bench_case(m, k, n, reps=reps_lo, iters=iters)
+    t_hi, _ = bench_case(m, k, n, reps=reps_hi, iters=iters)
+    dt = max(t_hi - t_lo, 1e-9)
+    flops = 2.0 * m * k * n * (reps_hi - reps_lo)
+    tfs = flops / dt / 1e12
+    print(f"M={m:4d} K={k:4d} N={n:5d}: lo={t_lo*1e3:7.2f} ms "
+          f"hi={t_hi*1e3:7.2f} ms  diff -> {tfs:7.1f} TF/s", flush=True)
+    return tfs
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=4)
+    args = p.parse_args()
+
+    cache = os.path.expanduser("~/.cache/jax_cdfo")
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    # target ~100 GFLOP per case so the ~38 ms readback floor is <10%
+    cases = [
+        (256, 192, 516),    # conv1-style per-row dot (shipped)
+        (256, 192, 1032),   # N x2
+        (256, 192, 2064),   # N x4 (frame-packing target)
+        (64, 768, 516),     # conv2-style per-row dot (shipped)
+        (64, 768, 1032),
+        (64, 768, 2064),
+        (64, 1024, 516),    # folded down.conv2 dot (shipped)
+        (64, 1024, 2064),
+        (256, 576, 516),    # K-stacked conv1 (all 9 taps in one dot)
+        (128, 128, 516),    # granularity reference points
+        (128, 128, 2064),
+    ]
+    for m, k, n in cases:
+        bench_case_floorfree(m, k, n, iters=args.iters)
+
+
+if __name__ == "__main__":
+    main()
