@@ -30,6 +30,8 @@ def main():
     p.add_argument("--wt", type=int, default=512)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--packed", type=int, default=0, metavar="G",
+                   help="use the g-frame lane-packed kernel (fused_block2p)")
     args = p.parse_args()
 
     cache = os.path.expanduser("~/.cache/jax_cdfo")
@@ -55,10 +57,19 @@ def main():
     ku = jnp.asarray(r.randn(1, 1, 64, 64) * 0.1, dt)
     bu = jnp.asarray(r.randn(64) * 0.05, dt)
 
-    @jax.jit
-    def run(x):
-        return fused_scale_block(x, w1, b1, w2, b2, kd, bd, ku, bu,
-                                 rows=args.rows, wt=args.wt)
+    if args.packed:
+        from cdfo_tpu.ops.fused_block2p import fused_scale_block_packed
+
+        @jax.jit
+        def run(x):
+            return fused_scale_block_packed(
+                x, w1, b1, w2, b2, kd, bd, ku, bu,
+                g=args.packed, rows=args.rows, wt=args.wt)
+    else:
+        @jax.jit
+        def run(x):
+            return fused_scale_block(x, w1, b1, w2, b2, kd, bd, ku, bu,
+                                     rows=args.rows, wt=args.wt)
 
     # FLOP count per frame (exact-path accounting, see module docstring)
     px = h * w
@@ -84,7 +95,7 @@ def main():
         float(jnp.sum(out.astype(jnp.float32)))
         best = min(best, (time.perf_counter() - t0) / args.iters)
     tfs = gf * b / best / 1e3
-    print(f"rows={args.rows} wt={args.wt} b={b}: {best*1e3:.2f} ms/call "
+    print(f"rows={args.rows} wt={args.wt} b={b} g={args.packed}: {best*1e3:.2f} ms/call "
           f"({best*1e3/b:.2f} ms/frame)  {tfs:.1f} TF/s "
           f"({tfs/197*100:.0f}% MFU)")
 
