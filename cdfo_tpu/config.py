@@ -35,6 +35,16 @@ class ModelConfig:
     # int8 "turbo" trunk (NOT bit-exact; ~2x MXU rate on v5e). Opt-in,
     # inference-only; measured PSNR delta in BENCH_NOTES.md.
     trunk_int8: bool = False
+    # frame-packed trunk kernel (ops/fused_block2p.py): g frames per
+    # Block_ invocation side-by-side along the lane axis (N x g per
+    # dot). Numerics-preserving; batches not divisible by g fall back
+    # to the unpacked kernel. MEASURED NEUTRAL-TO-NEGATIVE on v5e
+    # (BENCH_NOTES "rowpipe probe"): with the real per-row VPU work
+    # interleaved, wider N only gains ~15%, and the VMEM-forced smaller
+    # row blocks (g=4/rows=8 needs 147 MB) eat it — g=2/rows=8 measured
+    # 3.96 vs 3.95 ms/frame/block unpacked. Kept for future toolchains;
+    # 0/1 = off.
+    trunk_pack: int = 0
     # fused GCPI embed rounds (ops/fused_mdta.py) — numerics-preserving,
     # requires use_pab; ignored for the woPAB ablation
     fused_embed: bool = False

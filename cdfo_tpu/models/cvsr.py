@@ -178,6 +178,7 @@ class CVSRV8(nn.Module):
             from .trunk_fast import SCNetFast
             self.recon_trunk = SCNetFast(cfg.nf, cfg.scn_groups, dtype=dt,
                                          use_int8=cfg.trunk_int8,
+                                         pack=cfg.trunk_pack,
                                          name="recon_trunk")
         else:
             self.recon_trunk = SCNetS(cfg.nf, cfg.scn_groups, dtype=dt,

@@ -385,7 +385,8 @@ def scale_block_hcw_packed(x_pad: jnp.ndarray,
 
 def fused_scale_block_packed(x_nhwc: jnp.ndarray, w1_hwio, b1, w2_hwio, b2,
                              kd_hwio, bd, ku_hwio, bu, *, g: int = 4,
-                             rows: int = 8, wt: int = 512) -> jnp.ndarray:
+                             rows: int = 8, wt: int = 512,
+                             unroll: str = "all") -> jnp.ndarray:
     """NHWC test wrapper: the FULL Block_ with g-frame lane packing."""
     b, h, w, cin = x_nhwc.shape
     x = jnp.transpose(x_nhwc, (0, 1, 3, 2))
@@ -398,6 +399,6 @@ def fused_scale_block_packed(x_nhwc: jnp.ndarray, w1_hwio, b1, w2_hwio, b2,
         dual_weights(w2_hwio), b2.reshape(-1, 1),
         fold_down_conv2(w2_hwio),
         ku_hwio[0, 0], bu.reshape(-1, 1), kd_hwio[0, 0], bd.reshape(-1, 1),
-        img_h=h, img_w=w, g=g, rows=rows, wt=wt)
+        img_h=h, img_w=w, g=g, rows=rows, wt=wt, unroll=unroll)
     out = out[:, :h, :, :w]
     return jnp.transpose(out, (0, 1, 3, 2))

@@ -32,6 +32,9 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--packed", type=int, default=0, metavar="G",
                    help="use the g-frame lane-packed kernel (fused_block2p)")
+    p.add_argument("--unroll", default="all", choices=["all", "some", "none"],
+                   help="packed-kernel row-loop unrolling: all | "
+                        "some (small loops only) | none")
     args = p.parse_args()
 
     cache = os.path.expanduser("~/.cache/jax_cdfo")
@@ -60,11 +63,13 @@ def main():
     if args.packed:
         from cdfo_tpu.ops.fused_block2p import fused_scale_block_packed
 
+        unroll = {"all": "all", "some": True, "none": False}[args.unroll]
+
         @jax.jit
         def run(x):
             return fused_scale_block_packed(
                 x, w1, b1, w2, b2, kd, bd, ku, bu,
-                g=args.packed, rows=args.rows, wt=args.wt)
+                g=args.packed, rows=args.rows, wt=args.wt, unroll=unroll)
     else:
         @jax.jit
         def run(x):

@@ -92,9 +92,146 @@ def bench_case_floorfree(m, k, n, *, iters=4):
     return tfs
 
 
+def _rowpipe_kernel(w_ref, b_ref, cm_ref, u_ref, out_ref, y_ref, *,
+                    reps, nrows, m, c3, n):
+    """Replicates the fused Block_ y-row pipeline: three W-offset dots
+    summed + bias + lrelu + mask multiply + bf16 store. Measures whether
+    the kernel's dots still scale with N when the real per-row VPU work
+    (adds, select, multiply, cast, store) is interleaved."""
+    c = c3 // 3
+
+    def body(i, _):
+        r = jax.lax.rem(i, nrows)
+        u3 = u_ref[pl.ds(r, 3)].reshape(c3, n + 8)
+        w = w_ref[:]
+        y = jax.lax.dot_general(w[:, :c3], u3, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)[:, 0:n]
+        y = y + jax.lax.dot_general(
+            w[:, c3:2 * c3], u3, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[:, 1:n + 1]
+        y = y + jax.lax.dot_general(
+            w[:, 2 * c3:], u3, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[:, 2:n + 2] + b_ref[:]
+        y = jnp.where(y >= 0, y, 0.1 * y) * cm_ref[:]
+        y_ref[pl.ds(r, 1)] = y.astype(y_ref.dtype)[None]
+        return _
+
+    jax.lax.fori_loop(0, reps, body, 0, unroll=False)
+    out_ref[:, :] = y_ref[pl.ds(0, 1)][0]
+
+
+def bench_rowpipe(m, c, n, *, nrows=8, iters=4):
+    r = np.random.RandomState(0)
+    c3 = 3 * c
+    w = jnp.asarray(r.randn(m, 3 * c3) * 0.1, jnp.bfloat16)
+    b = jnp.asarray(r.randn(m, 1) * 0.1, jnp.bfloat16).astype(jnp.float32)
+    cm = jnp.ones((1, n), jnp.float32)
+    u = jnp.asarray(r.randn(nrows + 2, c, n + 8) * 0.1, jnp.bfloat16)
+
+    def run(reps):
+        fn = pl.pallas_call(
+            functools.partial(_rowpipe_kernel, reps=reps, nrows=nrows,
+                              m=m, c3=c3, n=n),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((nrows, m, n), jnp.bfloat16)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024),
+            interpret=jax.default_backend() == "cpu",
+        )
+        jfn = jax.jit(lambda *a: fn(*a))
+        float(jnp.sum(jfn(w, b, cm, u).astype(jnp.float32)))
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(jnp.sum(jfn(w, b, cm, u).astype(jnp.float32)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    flop_it = 2.0 * m * 3 * c3 * n
+    reps_hi = max(2, int(3e12 / flop_it))
+    reps_lo = reps_hi // 2
+    t_lo, t_hi = run(reps_lo), run(reps_hi)
+    dt = max(t_hi - t_lo, 1e-9)
+    tfs = flop_it * (reps_hi - reps_lo) / dt / 1e12
+    print(f"rowpipe M={m:4d} C={c:3d} N={n:5d}: lo={t_lo*1e3:7.2f} ms "
+          f"hi={t_hi*1e3:7.2f} ms  diff -> {tfs:7.1f} TF/s", flush=True)
+    return tfs
+
+
+def _kstack_kernel(w_ref, b_ref, cm_ref, u_ref, out_ref, us_ref, y_ref, *,
+                   reps, nrows, m, c, n):
+    """K-stacked conv1 row pipeline: per iteration, ONE u row is stored 3x
+    at lane shifts 0/1/2 into the interleaved (row, dx, c, N) buffer
+    (amortised build cost), then one K=9c dot + lrelu + mask + store
+    produces an output row from a 3-row slice of the interleaved buffer."""
+
+    def body(i, _):
+        r = jax.lax.rem(i, nrows)
+        # amortised interleaved build: one source row -> 3 shifted copies
+        urow = u_ref[pl.ds(r, 1)][0]
+        for dx in range(3):
+            us_ref[pl.ds(r, 1), pl.ds(dx, 1)] = \
+                urow[:, dx:dx + n + 2][None, None]
+        u9 = us_ref[pl.ds(r, 3)].reshape(9 * c, n + 2)
+        y = jax.lax.dot_general(w_ref[:], u9, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)[:, 0:n]
+        y = (y + b_ref[:])
+        y = jnp.where(y >= 0, y, 0.1 * y) * cm_ref[:]
+        y_ref[pl.ds(r, 1)] = y.astype(y_ref.dtype)[None]
+        return _
+
+    jax.lax.fori_loop(0, reps, body, 0, unroll=False)
+    out_ref[:, :] = y_ref[pl.ds(0, 1)][0]
+
+
+def bench_kstack(m, c, n, *, nrows=8, iters=4):
+    r = np.random.RandomState(0)
+    w = jnp.asarray(r.randn(m, 9 * c) * 0.1, jnp.bfloat16)
+    b = jnp.asarray(r.randn(m, 1) * 0.1, jnp.float32)
+    cm = jnp.ones((1, n), jnp.float32)
+    u = jnp.asarray(r.randn(nrows + 2, c, n + 8) * 0.1, jnp.bfloat16)
+
+    def run(reps):
+        fn = pl.pallas_call(
+            functools.partial(_kstack_kernel, reps=reps, nrows=nrows,
+                              m=m, c=c, n=n),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+            scratch_shapes=[
+                pltpu.VMEM((nrows + 2, 3, c, n + 2), jnp.bfloat16),
+                pltpu.VMEM((nrows, m, n), jnp.bfloat16)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024),
+            interpret=jax.default_backend() == "cpu",
+        )
+        jfn = jax.jit(lambda *a: fn(*a))
+        float(jnp.sum(jfn(w, b, cm, u).astype(jnp.float32)))
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(jnp.sum(jfn(w, b, cm, u).astype(jnp.float32)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    flop_it = 2.0 * m * 9 * c * n
+    reps_hi = max(2, int(3e12 / flop_it))
+    reps_lo = reps_hi // 2
+    t_lo, t_hi = run(reps_lo), run(reps_hi)
+    dt = max(t_hi - t_lo, 1e-9)
+    tfs = flop_it * (reps_hi - reps_lo) / dt / 1e12
+    print(f"kstack  M={m:4d} C={c:3d} N={n:5d}: lo={t_lo*1e3:7.2f} ms "
+          f"hi={t_hi*1e3:7.2f} ms  diff -> {tfs:7.1f} TF/s", flush=True)
+    return tfs
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--mode", default="dots",
+                   choices=["dots", "rowpipe", "kstack"])
     args = p.parse_args()
 
     cache = os.path.expanduser("~/.cache/jax_cdfo")
@@ -104,6 +241,19 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
+
+    if args.mode == "kstack":
+        # conv1-style at 1x/2x widths, vs the rowpipe 3-dot baseline
+        for m, c, n in [(256, 64, 516), (256, 64, 1032)]:
+            bench_kstack(m, c, n, iters=args.iters)
+        return
+
+    if args.mode == "rowpipe":
+        # (M, C, N): conv1-style rows at the shipped and packed widths
+        for m, c, n in [(256, 64, 516), (256, 64, 1032), (256, 64, 2064),
+                        (64, 256, 516), (64, 256, 2064)]:
+            bench_rowpipe(m, c, n, iters=args.iters)
+        return
 
     # target ~100 GFLOP per case so the ~38 ms readback floor is <10%
     cases = [
