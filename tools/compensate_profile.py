@@ -49,7 +49,8 @@ def main():
     H, W, nf = 272, 480, 64
     cfg = ModelConfig(mask_mode="expected", compute_dtype=jnp.bfloat16,
                       fused_trunk=True,
-                      fused_embed="--fused-embed" in sys.argv)
+                      fused_embed="--fused-embed" in sys.argv,
+                      fused_egla="--fused-egla" in sys.argv)
     model = CVSRV8(cfg)
     rng = np.random.RandomState(0)
 
