@@ -45,7 +45,8 @@ def timeit(f, *args, n_warm=1, n_rep=3):
 
 
 def main():
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    k = int(pos[0]) if pos else 4
     H, W, nf = 272, 480, 64
     cfg = ModelConfig(mask_mode="expected", compute_dtype=jnp.bfloat16,
                       fused_trunk=True,

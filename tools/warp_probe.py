@@ -84,8 +84,8 @@ def main():
     rng = np.random.RandomState(0)
     dt = jnp.bfloat16
 
-    ring = quad_pack(jnp.asarray(
-        rng.rand(L, H, W, nf).astype(np.float32))).astype(dt)
+    ring = jax.jit(lambda x: quad_pack(x).astype(dt))(jnp.asarray(
+        rng.rand(L, H, W, nf).astype(np.float32)))
     # 4x4-blockwise flows like the coding priors, moderate range
     blk = rng.randn(k * nbr, H // 4, W // 4, 2).astype(np.float32) * 8
     flow = jnp.asarray(np.repeat(np.repeat(blk, 4, axis=1), 4, axis=2))
@@ -130,12 +130,17 @@ def main():
 
     blend_v = chain(blend_only)
 
-    # numerical identity check first (on-device)
-    a = flow_warp_ring(ring, fidx, flow)
-    bq = ring_fma(ring, fidx, flow)
-    md = float(jnp.max(jnp.abs(a.astype(jnp.float32)
-                               - bq.astype(jnp.float32))))
-    print(f"ring vs ring_fma max|diff| = {md:.3e}")
+    # numerical identity check first (one jit, not eager: each eager op is
+    # a separate tunnel roundtrip)
+    @jax.jit
+    def _diff(ring, fidx, flow):
+        a = flow_warp_ring(ring, fidx, flow)
+        bq = ring_fma(ring, fidx, flow)
+        return jnp.max(jnp.abs(a.astype(jnp.float32)
+                               - bq.astype(jnp.float32)))
+
+    print(f"ring vs ring_fma max|diff| = {float(_diff(ring, fidx, flow)):.3e}",
+          flush=True)
 
     print(f"k={k} ({k * nbr} images/step, CH={CH}; ms/call and "
           f"(call-38)/CH ms/step)")
@@ -143,7 +148,7 @@ def main():
                         ("take_only", take_v, ring),
                         ("blend_only", blend_v, q_mat)]:
         t = timeit(f, a0, fidx, flow) * 1e3
-        print(f"  {name:10s} {t:8.1f}   {(t - 38) / CH:7.1f}")
+        print(f"  {name:10s} {t:8.1f}   {(t - 38) / CH:7.1f}", flush=True)
 
 
 if __name__ == "__main__":
