@@ -84,8 +84,19 @@ def main():
     rng = np.random.RandomState(0)
     dt = jnp.bfloat16
 
-    ring = jax.jit(lambda x: quad_pack(x).astype(dt))(jnp.asarray(
-        rng.rand(L, H, W, nf).astype(np.float32)))
+    # build the big operands ON DEVICE — uploading them through the
+    # ~45 MB/s tunnel dominates the probe (q_mat alone is 3.2 GB as fp32)
+    print("building device operands ...", flush=True)
+    t0 = time.perf_counter()
+
+    @jax.jit
+    def _mk_ring(key):
+        x = jax.random.uniform(key, (L, H, W, nf), jnp.float32)
+        return quad_pack(x).astype(dt)
+
+    ring = _mk_ring(jax.random.PRNGKey(0))
+    float(jnp.sum(ring[0, 0, 0].astype(jnp.float32)))
+    print(f"ring ready in {time.perf_counter() - t0:.1f}s", flush=True)
     # 4x4-blockwise flows like the coding priors, moderate range
     blk = rng.randn(k * nbr, H // 4, W // 4, 2).astype(np.float32) * 8
     flow = jnp.asarray(np.repeat(np.repeat(blk, 4, axis=1), 4, axis=2))
@@ -120,8 +131,11 @@ def main():
 
     take_v = chain(take_only)
 
-    q_mat = jnp.asarray(rng.rand(k * nbr, H, W, 4 * nf).astype(np.float32)
-                        ).astype(dt)
+    q_mat = jax.jit(lambda key: jax.random.uniform(
+        key, (k * nbr, H, W, 4 * nf), jnp.float32).astype(dt)
+    )(jax.random.PRNGKey(1))
+    float(jnp.sum(q_mat[0, 0, 0].astype(jnp.float32)))
+    print("q_mat ready", flush=True)
 
     def blend_only(q, _fidx, fl):
         x0i, y0i, wx1, wy1 = _quad_coords(fl, H, W)
@@ -132,6 +146,8 @@ def main():
 
     # numerical identity check first (one jit, not eager: each eager op is
     # a separate tunnel roundtrip)
+    print("compiling identity check ...", flush=True)
+
     @jax.jit
     def _diff(ring, fidx, flow):
         a = flow_warp_ring(ring, fidx, flow)
@@ -147,6 +163,7 @@ def main():
     for name, f, a0 in [("ring", ring_v, ring), ("ring_fma", fma_v, ring),
                         ("take_only", take_v, ring),
                         ("blend_only", blend_v, q_mat)]:
+        print(f"  {name} ...", flush=True)
         t = timeit(f, a0, fidx, flow) * 1e3
         print(f"  {name:10s} {t:8.1f}   {(t - 38) / CH:7.1f}", flush=True)
 
