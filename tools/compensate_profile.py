@@ -121,16 +121,18 @@ def main():
             out = jnp.sum(fi).astype(jnp.float32)
         return out
 
-    rows = [
-        ("embed", timeit(embed, params, lrs, pms) / CH),
-        ("egla", timeit(egla, params, rms, fea) / CH),
-        ("comp_tail", timeit(comp_tail, params, fea, rms) / CH),
-        ("pack+ufs", timeit(pack_ufs, params, fea, ufs) / CH),
-        ("FULL comp", timeit(comp, params, lrs, pms, rms, ufs) / CH),
-    ]
-    print(f"k={k}  (ms per k-frame call / per frame)")
-    for name, v in rows:
-        print(f"  {name:10s} {v * 1e3:8.1f}  {v * 1e3 / k:6.1f}")
+    print(f"k={k}  (ms per k-frame call / per frame)", flush=True)
+    for name, fn, args in [
+        ("embed", embed, (params, lrs, pms)),
+        ("egla", egla, (params, rms, fea)),
+        ("comp_tail", comp_tail, (params, fea, rms)),
+        ("pack+ufs", pack_ufs, (params, fea, ufs)),
+        ("FULL comp", comp, (params, lrs, pms, rms, ufs)),
+    ]:
+        t0 = time.perf_counter()
+        v = timeit(fn, *args) / CH
+        print(f"  {name:10s} {v * 1e3:8.1f}  {v * 1e3 / k:6.1f}"
+              f"   (wall {time.perf_counter() - t0:.0f}s)", flush=True)
 
 
 if __name__ == "__main__":
