@@ -22,19 +22,12 @@ import numpy as np
 
 
 def main():
-    import os
-
     import jax
 
     # persistent compilation cache: the fused kernels cost ~8-10 min of
     # Mosaic compiles cold; cached runs skip them entirely
-    cache = os.path.expanduser("~/.cache/jax_cdfo")
-    os.makedirs(cache, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass  # older jax / unsupported backend: cold compile only
+    from cdfo_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
 
     from cdfo_tpu.config import ModelConfig
     from cdfo_tpu.models import CVSRV8

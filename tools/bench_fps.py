@@ -34,6 +34,8 @@ def main():
     p.add_argument("--no-fused-trunk", dest="fused", action="store_false",
                    default=True)
     args = p.parse_args()
+    from cdfo_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
 
     import jax
     from cdfo_tpu.config import ModelConfig

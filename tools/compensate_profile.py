@@ -9,7 +9,6 @@ readback as the sync.
 
 Usage: python tools/compensate_profile.py [k]
 """
-import os
 import sys
 import time
 
@@ -19,13 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_cache = os.path.expanduser("~/.cache/jax_cdfo")
-os.makedirs(_cache, exist_ok=True)
-try:
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-except Exception:
-    pass
+from cdfo_tpu.utils import enable_compilation_cache
+enable_compilation_cache()
 
 from cdfo_tpu.config import ModelConfig
 from cdfo_tpu.models.cvsr import CVSRV8

@@ -46,6 +46,8 @@ def main():
     p.add_argument("--tof", action="store_true")
     p.add_argument("--fps", action="store_true")
     args = p.parse_args()
+    from cdfo_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
 
     import jax
     from cdfo_tpu.config import ModelConfig

@@ -37,13 +37,8 @@ def main():
                         "some (small loops only) | none")
     args = p.parse_args()
 
-    cache = os.path.expanduser("~/.cache/jax_cdfo")
-    os.makedirs(cache, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    from cdfo_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
 
     from cdfo_tpu.ops.fused_block2 import fused_scale_block
 

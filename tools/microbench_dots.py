@@ -234,13 +234,8 @@ def main():
                    choices=["dots", "rowpipe", "kstack"])
     args = p.parse_args()
 
-    cache = os.path.expanduser("~/.cache/jax_cdfo")
-    os.makedirs(cache, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    from cdfo_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
 
     if args.mode == "kstack":
         # conv1-style at 1x/2x widths, vs the rowpipe 3-dot baseline

@@ -46,6 +46,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from cdfo_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
