@@ -1,5 +1,5 @@
-from .cache import enable_compilation_cache
+from .cache import apply_platform_env, enable_compilation_cache
 from .profiling import count_params, estimate_flops, trace_profile, Timer
 
 __all__ = ["count_params", "estimate_flops", "trace_profile", "Timer",
-           "enable_compilation_cache"]
+           "apply_platform_env", "enable_compilation_cache"]

@@ -17,6 +17,26 @@ import os
 _DEFAULT_DIR = "~/.cache/jax_cdfo"
 
 
+def apply_platform_env() -> None:
+    """Make the ``JAX_PLATFORMS`` env var effective on this deployment.
+
+    The axon TPU plugin's sitecustomize force-registers the TPU backend
+    regardless of ``JAX_PLATFORMS``, so a caller (e.g. the test suite
+    launching a CLI subprocess with ``JAX_PLATFORMS=cpu``) silently ends
+    up on — and queues behind — the real chip. Re-applying the env var
+    through ``jax.config`` restores the standard semantics. No-op when
+    the var is unset.
+    """
+    import jax
+
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
 def enable_compilation_cache(cache_dir: str | None = None,
                              min_compile_secs: float = 5.0) -> str | None:
     """Point JAX's persistent compilation cache at ``cache_dir``.

@@ -34,7 +34,8 @@ def main():
     p.add_argument("--no-fused-trunk", dest="fused", action="store_false",
                    default=True)
     args = p.parse_args()
-    from cdfo_tpu.utils import enable_compilation_cache
+    from cdfo_tpu.utils import apply_platform_env, enable_compilation_cache
+    apply_platform_env()
     enable_compilation_cache()
 
     import jax

@@ -46,7 +46,8 @@ def main():
     p.add_argument("--tof", action="store_true")
     p.add_argument("--fps", action="store_true")
     args = p.parse_args()
-    from cdfo_tpu.utils import enable_compilation_cache
+    from cdfo_tpu.utils import apply_platform_env, enable_compilation_cache
+    apply_platform_env()
     enable_compilation_cache()
 
     import jax

@@ -34,7 +34,8 @@ def main():
     p.add_argument("--ckpt", default="", help="orbax checkpoint dir")
     p.add_argument("--fp32", dest="bf16", action="store_false", default=True)
     args = p.parse_args()
-    from cdfo_tpu.utils import enable_compilation_cache
+    from cdfo_tpu.utils import apply_platform_env, enable_compilation_cache
+    apply_platform_env()
     enable_compilation_cache()
 
     if args.cpu_mesh:

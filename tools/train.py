@@ -46,7 +46,8 @@ def parse_args():
 
 def main():
     args = parse_args()
-    from cdfo_tpu.utils import enable_compilation_cache
+    from cdfo_tpu.utils import apply_platform_env, enable_compilation_cache
+    apply_platform_env()
     enable_compilation_cache()
     if args.cpu:
         import jax
