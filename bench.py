@@ -26,7 +26,8 @@ def main():
 
     # persistent compilation cache: the fused kernels cost ~8-10 min of
     # Mosaic compiles cold; cached runs skip them entirely
-    from cdfo_tpu.utils import enable_compilation_cache
+    from cdfo_tpu.utils import apply_platform_env, enable_compilation_cache
+    apply_platform_env()
     enable_compilation_cache()
 
     from cdfo_tpu.config import ModelConfig
@@ -50,18 +51,29 @@ def main():
 
     eng = BatchedStreamingEngine(model, params, k=k)
     # warm-up on a short prefix compiles both graphs
+    import time
+    t_start = time.monotonic()
     warm = synthetic_sequence(t=2 * k, h=h, w=w, seed=1)
     eng.run_sequence(warm)
     # three timed runs; the HEADLINE is the median, comparable to the
     # reference's single-pass measurement (run-to-run spread through the
     # axon tunnel is ~±15% for an identical program, so best-of would
     # report the optimistic tail — ADVICE r2). All runs are disclosed.
+    # Soft deadline (CDFO_BENCH_DEADLINE seconds, default 480): when the
+    # warm-up ate the budget (cold Mosaic compiles on an uncached machine,
+    # or a degraded tunnel), report the median of however many timed runs
+    # fit instead of timing out with nothing on stdout (BENCH_r03 was a
+    # driver rc=124 with zero output during the round-3 tunnel outage).
+    import os
+    deadline = float(os.environ.get("CDFO_BENCH_DEADLINE", "480"))
     runs = []
     for _ in range(3):
         frames, f = eng.run_sequence(data, collect_timing=True)
         runs.append(float(f))
+        if time.monotonic() - t_start > deadline:
+            break
     assert frames.shape == (t, 1080, 1920)  # 1088-row output cropped to 1080
-    fps = sorted(runs)[1]
+    fps = sorted(runs)[(len(runs) - 1) // 2]  # lower median: no optimism
 
     print(json.dumps({
         "metric": "1080p_x4_streaming_fps",

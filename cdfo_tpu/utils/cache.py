@@ -33,8 +33,12 @@ def apply_platform_env() -> None:
     if plat:
         try:
             jax.config.update("jax_platforms", plat)
-        except Exception:
-            pass
+        except Exception as e:  # pragma: no cover - backend already up
+            import warnings
+            warnings.warn(
+                f"JAX_PLATFORMS={plat!r} could not be applied "
+                f"({type(e).__name__}: {e}); this process may run on a "
+                "different backend than requested", stacklevel=2)
 
 
 def enable_compilation_cache(cache_dir: str | None = None,

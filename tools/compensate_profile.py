@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cdfo_tpu.utils import enable_compilation_cache
+from cdfo_tpu.utils import apply_platform_env, enable_compilation_cache
+apply_platform_env()
 enable_compilation_cache()
 
 from cdfo_tpu.config import ModelConfig

@@ -37,7 +37,8 @@ def main():
                         "some (small loops only) | none")
     args = p.parse_args()
 
-    from cdfo_tpu.utils import enable_compilation_cache
+    from cdfo_tpu.utils import apply_platform_env, enable_compilation_cache
+    apply_platform_env()
     enable_compilation_cache()
 
     from cdfo_tpu.ops.fused_block2 import fused_scale_block

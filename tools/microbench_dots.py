@@ -234,7 +234,8 @@ def main():
                    choices=["dots", "rowpipe", "kstack"])
     args = p.parse_args()
 
-    from cdfo_tpu.utils import enable_compilation_cache
+    from cdfo_tpu.utils import apply_platform_env, enable_compilation_cache
+    apply_platform_env()
     enable_compilation_cache()
 
     if args.mode == "kstack":

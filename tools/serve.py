@@ -32,18 +32,30 @@ def main():
     p.add_argument("--cpu-mesh", default=0, type=int,
                    help="force an N-device virtual CPU mesh")
     p.add_argument("--ckpt", default="", help="orbax checkpoint dir")
+    p.add_argument("--lr-dir", default="",
+                   help="serve a real sequence: LR PNG dir (with "
+                        "--side-dir), JCT-VC grammar as tools/test_sr.py")
+    p.add_argument("--side-dir", default="")
+    p.add_argument("--save-dir", default="",
+                   help="write SR PNGs here (with --lr-dir)")
     p.add_argument("--fp32", dest="bf16", action="store_false", default=True)
     args = p.parse_args()
-    from cdfo_tpu.utils import apply_platform_env, enable_compilation_cache
-    apply_platform_env()
-    enable_compilation_cache()
 
+    # env mutations MUST precede any jax import (tests/conftest.py:3 —
+    # XLA flags are read at backend init): set the virtual-mesh flags
+    # first, then let apply_platform_env() re-assert JAX_PLATFORMS
+    # through jax.config for the deployment whose sitecustomize ignores
+    # the env var.
     if args.cpu_mesh:
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
             + f" --xla_force_host_platform_device_count={args.cpu_mesh}"
         ).strip()
         os.environ["JAX_PLATFORMS"] = "cpu"
+
+    from cdfo_tpu.utils import apply_platform_env, enable_compilation_cache
+    apply_platform_env()
+    enable_compilation_cache()
 
     import jax
     from cdfo_tpu.config import ModelConfig
@@ -56,13 +68,22 @@ def main():
     devs = jax.devices()
     dt = jax.numpy.bfloat16 if args.bf16 else jax.numpy.float32
     fused = jax.default_backend() == "tpu"
+    # real checkpoints need the full-depth trunk; the synthetic demo on
+    # CPU keeps the 1-group trunk for compile speed
+    full_depth = fused or bool(args.ckpt) or bool(args.lr_dir)
     cfg = ModelConfig(mask_mode="expected", compute_dtype=dt,
                       fused_trunk=fused, fused_embed=fused,
                       fused_align=fused,
-                      scn_groups=7 if fused else 1)
+                      scn_groups=7 if full_depth else 1)
     model = CVSRV8(cfg)
-    h, w = args.height, args.width
-    data = synthetic_sequence(t=args.frames, h=h, w=w, seed=0)
+    if args.lr_dir:
+        from cdfo_tpu.data.io import load_eval_sequence
+        data = load_eval_sequence(args.lr_dir, args.side_dir,
+                                  args.frames or None)
+        h, w = data.lr.shape[1:]
+    else:
+        h, w = args.height, args.width
+        data = synthetic_sequence(t=args.frames, h=h, w=w, seed=0)
 
     dummy = np.zeros((1, 7, h, w, 1), np.float32)
     dmv = np.zeros((1, 7, h, w, 2), np.float32)
@@ -84,11 +105,18 @@ def main():
     warm = synthetic_sequence(t=2 * eng.k, h=h, w=w, seed=1)
     eng.run_sequence(warm)
     frames, fps = eng.run_sequence(data, collect_timing=True)
+    if args.save_dir:
+        from cdfo_tpu.data.io import write_gray
+        os.makedirs(args.save_dir, exist_ok=True)
+        for i in range(frames.shape[0]):
+            write_gray(os.path.join(args.save_dir, "%05d.png" % i),
+                       frames[i])
     print(json.dumps({
         "mode": mode, "devices": len(devs),
         "geometry": f"{h}x{w} -> {4 * h}x{4 * w}",
         "frames": int(frames.shape[0]),
         "fps": round(float(fps), 3),
+        **({"saved": args.save_dir} if args.save_dir else {}),
     }))
 
 

@@ -30,6 +30,9 @@ def parse_args():
     p.add_argument("--dump-features", default="",
                    help="directory to save aligned-feature maps (the "
                         "reference's featuremap_visual, behind a flag)")
+    p.add_argument("--scan-trunk", action="store_true",
+                   help="scan-over-groups trunk (faster compile, same "
+                        "math); unrolled checkpoints are adapted on load")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args()
@@ -51,12 +54,13 @@ def main():
     from cdfo_tpu.data.io import load_eval_sequence, write_gray
     from cdfo_tpu.metrics import calculate_psnr, calculate_ssim
 
-    cfg = ModelConfig(mask_mode=args.mask_mode)
+    cfg = ModelConfig(mask_mode=args.mask_mode, scan_trunk=args.scan_trunk)
     model = CVSRV8(cfg, capture_features=bool(args.dump_features))
 
     if args.synthetic:
         data = synthetic_sequence(t=9, h=64, w=96)
-        cfg = ModelConfig(scn_groups=1, mask_mode=args.mask_mode)
+        cfg = ModelConfig(scn_groups=1, mask_mode=args.mask_mode,
+                          scan_trunk=args.scan_trunk)
         model = CVSRV8(cfg, capture_features=bool(args.dump_features))
     else:
         data = load_eval_sequence(args.lr_dir, args.side_dir,
