@@ -163,9 +163,24 @@ def calculate_ssim(img1: np.ndarray, img2: np.ndarray, crop_border: int,
 
 
 def calculate_tof(true_cur, pred_cur, true_pre, pred_pre) -> float:
-    """Temporal optical-flow EPE via Farneback (`metric/psnr_ssim.py:404-421`)."""
+    """Temporal optical-flow EPE via Farneback (`metric/psnr_ssim.py:404-421`).
+
+    Colour inputs are converted to grayscale first — the reference
+    comments its RGB2GRAY lines out (`:406-409`) yet its REDS/Vid4
+    drivers feed it 3-channel PIL arrays, which Farneback rejects
+    (8-bit single-channel only): broken as shipped, repaired here with
+    the exact conversion the reference disabled."""
     if cv2 is None:
         raise RuntimeError("cv2 required for tOF")
+
+    def _gray(img):
+        img = np.asarray(img)
+        if img.ndim == 3 and img.shape[2] == 3:
+            return cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+        return img
+
+    true_cur, pred_cur, true_pre, pred_pre = map(
+        _gray, (true_cur, pred_cur, true_pre, pred_pre))
     true_of = cv2.calcOpticalFlowFarneback(true_pre, true_cur, None, 0.5, 3, 15, 3, 5, 1.2, 0)
     pred_of = cv2.calcOpticalFlowFarneback(pred_pre, pred_cur, None, 0.5, 3, 15, 3, 5, 1.2, 0)
     diff = true_of - pred_of
@@ -243,6 +258,94 @@ def cal_psnr_ssim_tof(save_path: str, res_vid_name: Sequence[str],
         results.append((res_f, psnr / frames, ssim / frames,
                         tof / max(frames - 1, 1)))
     return results
+
+
+def _read_pil_order(path: str) -> np.ndarray:
+    """Read a PNG exactly as the reference dataset drivers do
+    (``np.array(Image.open(...))`` — `metric/psnr_ssim.py:505-510`):
+    grayscale files come back (H, W) uint8, colour files (H, W, 3) in
+    **RGB** order. Note the reference then feeds RGB arrays through a
+    BGR-assuming ``to_y_channel`` (`:211-213`) — Y is computed with the
+    R/B coefficients swapped on colour datasets. We reproduce that
+    behaviour bit-for-bit so scores stay comparable."""
+    if cv2 is not None:
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise FileNotFoundError(path)
+        if img.ndim == 3:
+            img = img[..., 2::-1]  # BGR(A) -> RGB, PIL order
+        return img
+    from PIL import Image
+    return np.array(Image.open(path))
+
+
+def _tof_driver(save_path: str, res_vid_name: Sequence[str],
+                gt_vid_name: Sequence[str], gt_path: str,
+                frames_for, idx_fmt: str, one_video: bool):
+    """Shared body of the three reference dataset drivers
+    (`metric/psnr_ssim.py:490-652`): per-frame PSNR/SSIM/tOF with the
+    frame-0 tOF term computed against itself (zero) and INCLUDED in the
+    frames-count mean — unlike :func:`cal_psnr_ssim_tof`, which starts at
+    the second frame and divides by frames-1. Returns the reference's
+    6-tuple ``(psnr_str, ssim_str, tof_str, sum_psnr, sum_ssim, sum_tof)``
+    when ``one_video`` (the only mode the reference ever uses; its
+    multi-video tail is dead code). The reference's REDS/Vid4 drivers
+    accumulate ``ssim`` into the tOF running sum (`:580,644` —
+    ``seq_ave_tOF += ssim / frames``); that accumulator is dead under
+    ``one_video`` and we keep the accounting correct."""
+    sum_psnr = sum_ssim = sum_tof = 0.0
+    out = None
+    for res_f, gt_f in zip(res_vid_name, gt_vid_name):
+        frames = frames_for(res_f)
+        psnr = ssim = tof = 0.0
+        prev_res = prev_gt = None
+        for i in range(frames):
+            idx = idx_fmt % i
+            res = _read_pil_order(os.path.join(save_path, res_f, idx + ".png"))
+            gt = _read_pil_order(os.path.join(gt_path, gt_f, idx + ".png"))
+            if prev_res is None:
+                prev_res, prev_gt = res, gt
+            psnr += calculate_psnr(res, gt, 4, test_y_channel=True)
+            ssim += calculate_ssim(res, gt, 4, test_y_channel=True)
+            tof += calculate_tof(gt, res, prev_gt, prev_res)
+            prev_res, prev_gt = res, gt
+        sum_psnr += psnr / frames
+        sum_ssim += ssim / frames
+        sum_tof += tof / frames
+        out = ("%.3f" % (psnr / frames), "%.5f" % (ssim / frames),
+               "%.5f" % (tof / frames), sum_psnr, sum_ssim, sum_tof)
+        if one_video:
+            return out
+    return out
+
+
+def cal_psnr_ssim_tof_cvcp(save_path, res_vid_name, gt_vid_name, gt_path,
+                           one_video: bool = True):
+    """CVCP driver (`metric/psnr_ssim.py:490`): frame count parsed from the
+    sequence name's ``_NNNF`` suffix, ``%05d`` frame naming."""
+    return _tof_driver(save_path, res_vid_name, gt_vid_name, gt_path,
+                       lambda res_f: int(res_f[-8:-5]), "%05d", one_video)
+
+
+def cal_psnr_ssim_tof_reds(save_path, res_vid_name, gt_vid_name, gt_path,
+                           one_video: bool = True):
+    """REDS driver (`metric/psnr_ssim.py:542`): fixed 100 frames,
+    ``%08d`` frame naming."""
+    return _tof_driver(save_path, res_vid_name, gt_vid_name, gt_path,
+                       lambda res_f: 100, "%08d", one_video)
+
+
+_VID4_FRAMES = {"calendar": 41, "city": 34, "foliage": 49, "walk": 47}
+
+
+def cal_psnr_ssim_tof_vid4(save_path, res_vid_name, gt_vid_name, gt_path,
+                           one_video: bool = True):
+    """Vid4 driver (`metric/psnr_ssim.py:593`): per-sequence frame counts
+    (calendar 41 / city 34 / foliage 49 / walk 47, else 100), ``%08d``
+    frame naming."""
+    return _tof_driver(save_path, res_vid_name, gt_vid_name, gt_path,
+                       lambda res_f: _VID4_FRAMES.get(res_f, 100), "%08d",
+                       one_video)
 
 
 # --------------------------------------------------------------------------
