@@ -32,6 +32,15 @@ class ModelConfig:
     # execution strategy (numerics-preserving): fused Pallas trunk kernel
     # in row-major (H, C, W) layout — see cdfo_tpu/models/trunk_fast.py
     fused_trunk: bool = False
+    # scan-over-groups trunk (SCNetSScan / SCNetPyrScan): same math, ONE
+    # traced group body instead of num_groups unrolled copies — cuts the
+    # XLA program size (and compile time) of the non-fused trunks
+    # several-fold; essential for the pyramid models, whose unrolled
+    # compile exceeded 24 min cold (ROUND3_NOTES). Param layout changes
+    # to stacked `groups/g`; `cdfo_tpu.compat.to_scan_trunk` converts.
+    # Ignored when fused_trunk is on (the Pallas path has no unrolling
+    # problem — each Block_ is one cached kernel).
+    scan_trunk: bool = False
     # int8 "turbo" trunk (NOT bit-exact; ~2x MXU rate on v5e). Opt-in,
     # inference-only; measured PSNR delta in BENCH_NOTES.md.
     trunk_int8: bool = False

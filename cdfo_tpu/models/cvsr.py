@@ -180,6 +180,10 @@ class CVSRV8(nn.Module):
                                          use_int8=cfg.trunk_int8,
                                          pack=cfg.trunk_pack,
                                          name="recon_trunk")
+        elif cfg.scan_trunk:
+            from .trunk import SCNetSScan
+            self.recon_trunk = SCNetSScan(cfg.nf, cfg.scn_groups, dtype=dt,
+                                          name="recon_trunk")
         else:
             self.recon_trunk = SCNetS(cfg.nf, cfg.scn_groups, dtype=dt,
                                       name="recon_trunk")

@@ -22,7 +22,7 @@ from .attention_variants import RDAB, EGLA1
 from .layers import Conv2d, lrelu
 from .prior_encoder import PartitionTransformerSA2
 from .sft import SideEmbeddedFeatureExtractBlock
-from .trunk import SCNetPyr, SCNetS
+from .trunk import SCNetPyr, SCNetPyrScan, SCNetS
 from .cvsr import CVSRV8
 from .attention import MDTA
 from .norms import ChannelLayerNorm
@@ -168,7 +168,8 @@ class CVSRV7(nn.Module):
             fuse_fea_pyr.append(lrelu(tsa_fusion(flat)))
 
         fuse_fea_pyr = fuse_fea_pyr[::-1]  # [L1, L2, L3]
-        out = SCNetPyr(nf, cfg.scn_groups, dtype=dt, name="recon_trunk")(fuse_fea_pyr)
+        trunk_cls = SCNetPyrScan if cfg.scan_trunk else SCNetPyr
+        out = trunk_cls(nf, cfg.scn_groups, dtype=dt, name="recon_trunk")(fuse_fea_pyr)
 
         out_l3 = lrelu(Conv2d(nf, 1, 1, 0, dtype=dt, name="upconv1_L3")(out[2]))
         out_l3 = pixel_shuffle(pixel_shuffle(out_l3, 2), 2)
@@ -250,7 +251,8 @@ class SIDECVSRModel(nn.Module):
             flat = flat.reshape(b, hh, ww, n * nf)
             fuse_fea_pyr.append(lrelu(tsa_fusion(tmp_attn(flat))))
 
-        out = SCNetPyr(nf, cfg.scn_groups, dtype=dt, name="recon_trunk")(fuse_fea_pyr)
+        trunk_cls = SCNetPyrScan if cfg.scan_trunk else SCNetPyr
+        out = trunk_cls(nf, cfg.scn_groups, dtype=dt, name="recon_trunk")(fuse_fea_pyr)
         out_l3 = lrelu(Conv2d(nf, 1, 1, 0, dtype=dt, name="upconv1_L3")(out[2]))
         out_l3 = pixel_shuffle(pixel_shuffle(out_l3, 2), 2)
         out_l2 = lrelu(Conv2d(nf, 1, 1, 0, dtype=dt, name="upconv1_L2")(out[1]))

@@ -91,6 +91,50 @@ class SCNetS(nn.Module):
         return x + r
 
 
+class _ScanGroupS(nn.Module):
+    nf: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, _):
+        return SCGroupS(self.nf, dtype=self.dtype, name="g")(x), None
+
+
+class SCNetSScan(nn.Module):
+    """Compile-time-bounded twin of :class:`SCNetS`: ONE traced
+    ``SCGroupS`` body, ``lax.scan`` over per-group params stacked on a
+    leading axis (flax ``nn.scan``). Same math, same execution order —
+    the XLA program contains one group instead of ``num_groups`` copies,
+    which is what made the unrolled pyramid models cost minutes of
+    compile per geometry (ROUND3_NOTES: V7 exceeded 24 min cold through
+    the remote-compile tunnel).
+
+    Param layout: ``groups/g/<SCGroupS tree>`` with leading dim
+    ``num_groups``; :func:`cdfo_tpu.compat.to_scan_trunk` converts the
+    unrolled ``body_{i}`` layout (and therefore any converted reference
+    checkpoint) into it.
+    """
+
+    nf: int = 64
+    num_groups: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # remat inside the scan: without it the backward pass stacks every
+        # group's Block_ intermediates over the scan axis ((G, B, 2H, 2W,
+        # 4nf) bf16 buffers — OOMs a 16 GB chip at the reference batch 20
+        # where the unrolled trunk fits); with it only the (B, H, W, nf)
+        # carries are saved and the group body recomputes in backward —
+        # the standard scan-over-layers memory/FLOP trade.
+        scan = nn.scan(nn.remat(_ScanGroupS, prevent_cse=False),
+                       variable_axes={"params": 0},
+                       split_rngs={"params": True},
+                       length=self.num_groups)
+        r, _ = scan(self.nf, dtype=self.dtype, name="groups")(x, None)
+        return x + r
+
+
 class BlockPyr(nn.Module):
     """List-valued pyramid block (reference ``Block``): each level runs the
     shared body; level 0 additionally receives its own down-projected
@@ -159,4 +203,33 @@ class SCNetPyr(nn.Module):
         r = list(x_list)
         for i in range(self.num_groups):
             r = SCGroupPyr(self.nf, dtype=self.dtype, name=f"body_{i}")(r)
+        return [x + t for x, t in zip(x_list, r)]
+
+
+class _ScanGroupPyr(nn.Module):
+    nf: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, _):
+        out = SCGroupPyr(self.nf, dtype=self.dtype, name="g")(list(carry))
+        return tuple(out), None
+
+
+class SCNetPyrScan(nn.Module):
+    """Scan twin of :class:`SCNetPyr` (see :class:`SCNetSScan`): the
+    3-level pyramid rides the scan carry as a tuple of arrays."""
+
+    nf: int = 64
+    num_groups: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_list):
+        scan = nn.scan(nn.remat(_ScanGroupPyr, prevent_cse=False),
+                       variable_axes={"params": 0},
+                       split_rngs={"params": True},
+                       length=self.num_groups)
+        r, _ = scan(self.nf, dtype=self.dtype, name="groups")(
+            tuple(x_list), None)
         return [x + t for x, t in zip(x_list, r)]

@@ -44,15 +44,33 @@ def restore_checkpoint(path: str, state):
 
 def restore_params(path: str, params_template):
     """Restore only the model params from a checkpoint dir (eval-side load,
-    the `map_location='cpu'` equivalent of `test_LD_37.py:124`)."""
+    the `map_location='cpu'` equivalent of `test_LD_37.py:124`).
+
+    Trunk-layout tolerant: a checkpoint saved with the unrolled trunk
+    restores into a scan-trunk template (and vice versa) via the
+    `cdfo_tpu.compat` layout adapters — so `--scan-trunk` eval works on
+    checkpoints converted from the torch releases without re-saving."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(os.path.abspath(path))
     if "params" in restored:
         restored = restored["params"]
-    return jax.tree.map(lambda t, r: np.asarray(r).astype(t.dtype),
-                        params_template, restored)
+
+    def fit(tree):
+        return jax.tree.map(lambda t, r: np.asarray(r).astype(t.dtype),
+                            params_template, tree)
+
+    try:
+        return fit(restored)
+    except (ValueError, KeyError):
+        from ..compat import from_scan_trunk, to_scan_trunk
+        for conv in (to_scan_trunk, from_scan_trunk):
+            try:
+                return fit(conv(restored))
+            except (ValueError, KeyError):
+                continue
+        raise
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

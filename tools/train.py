@@ -35,6 +35,11 @@ def parse_args():
     p.add_argument("--fused-trunk", action="store_true",
                    help="train through the Pallas trunk/head kernels "
                         "(exact custom-VJP backward, ops/fused_vjp.py)")
+    p.add_argument("--scan-trunk", action="store_true",
+                   help="scan-over-groups trunk: same math, several-fold "
+                        "smaller XLA program / faster compile "
+                        "(checkpoints save in the stacked layout; "
+                        "cdfo_tpu.compat converts)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (fp32 params/loss)")
     p.add_argument("--eval-lr-dir", default="",
@@ -69,7 +74,7 @@ def main():
         ckpt_dir=args.ckpt_dir,
     )
     import jax.numpy as jnp
-    _mkw = dict(fused_trunk=args.fused_trunk,
+    _mkw = dict(fused_trunk=args.fused_trunk, scan_trunk=args.scan_trunk,
                 compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     model_cfg = ModelConfig(**_mkw)
 
