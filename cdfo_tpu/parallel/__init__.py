@@ -1,3 +1,4 @@
-from .mesh import make_mesh, shard_batch, replicate
+from .mesh import initialize_distributed, make_mesh, replicate, shard_batch
 
-__all__ = ["make_mesh", "shard_batch", "replicate"]
+__all__ = ["initialize_distributed", "make_mesh", "shard_batch",
+           "replicate"]

@@ -16,6 +16,31 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None):
+    """Multi-host runtime init — the reference's ``init_dist`` (NCCL
+    ``init_process_group`` + spawn, `opt/deep_learning.py:23-26`) rebuilt
+    on ``jax.distributed.initialize``.
+
+    On TPU pods every argument auto-detects from the environment; on CPU
+    fleets pass the coordinator address + process ids explicitly.
+    Idempotent (a second call is a no-op). Returns
+    ``(process_index, process_count)`` — the ``get_dist_info`` equivalent
+    (`opt/deep_learning.py:29-42`) — which feed straight into
+    ``CVCPDataset(host_id=..., num_hosts=...)`` for per-host input
+    sharding (the ``DistSampler`` replacement).
+    """
+    import jax
+
+    if not jax.distributed.is_initialized():
+        # must precede ANY backend-initialising jax call (jax.devices etc.)
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(shape: Optional[Sequence[int]] = None,
               axis_names: Sequence[str] = ("data",),
               devices=None) -> Mesh:

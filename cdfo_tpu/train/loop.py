@@ -122,10 +122,17 @@ def train_loop(model_cfg: ModelConfig, data_cfg: DataConfig,
                eval_fn: Optional[Callable] = None,
                use_mesh: bool = True,
                cache_path: Optional[str] = None,
-               use_native_batcher: bool = True):
-    """Returns the final TrainState. ``eval_fn(state, epoch)`` optional."""
+               use_native_batcher: bool = True,
+               host_id: int = 0, num_hosts: int = 1):
+    """Returns the final TrainState. ``eval_fn(state, epoch)`` optional.
+
+    ``host_id``/``num_hosts`` (from
+    :func:`cdfo_tpu.parallel.initialize_distributed`) stride-shard the
+    sequence list per host — the reference's latent ``DistSampler``
+    (`opt/deep_learning.py:50-105`) as input sharding."""
     model = CVSRV8(model_cfg)
-    ds = CVCPDataset(data_root, data_cfg, cache_path=cache_path)
+    ds = CVCPDataset(data_root, data_cfg, cache_path=cache_path,
+                     host_id=host_id, num_hosts=num_hosts)
     from .. data import native as native_batcher
     if use_native_batcher and native_batcher.available():
         batcher = native_batcher.NativeBatcher(

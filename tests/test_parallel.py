@@ -82,3 +82,27 @@ def test_data_parallel_train_step_equivalence(model_and_params):
     b = jax.tree.leaves(s2.params)[0]
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4,
                                atol=1e-6)
+
+def test_initialize_distributed_single_process(tmp_path):
+    """initialize_distributed: the init_dist/get_dist_info equivalent
+    (`opt/deep_learning.py:23-42`). Must run before any backend init, so
+    it executes in a clean subprocess; idempotent re-entry included."""
+    import subprocess
+    import sys
+
+    code = (
+        "import socket\n"
+        "with socket.socket() as s:\n"
+        "    s.bind((\"127.0.0.1\", 0)); port = s.getsockname()[1]\n"
+        "from cdfo_tpu.parallel import initialize_distributed\n"
+        "addr = f\"127.0.0.1:{port}\"\n"
+        "print(initialize_distributed(addr, 1, 0))\n"
+        "print(initialize_distributed(addr, 1, 0))\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300,
+                         env={**__import__("os").environ,
+                              "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr[-800:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("(")]
+    assert lines == ["(0, 1)", "(0, 1)"]

@@ -31,6 +31,10 @@ def parse_args():
     p.add_argument("--steps-per-epoch", default=0, type=int)
     p.add_argument("--synthetic", action="store_true",
                    help="generate + train on a tiny synthetic CVCP tree")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize + per-host "
+                        "input sharding (the init_dist/DistSampler "
+                        "equivalent; auto-detects on TPU pods)")
     p.add_argument("--cpu", action="store_true", help="force CPU devices")
     p.add_argument("--fused-trunk", action="store_true",
                    help="train through the Pallas trunk/head kernels "
@@ -51,6 +55,12 @@ def parse_args():
 
 def main():
     args = parse_args()
+    host_id, num_hosts = 0, 1
+    if args.distributed:
+        # must precede any backend-initialising jax call (incl. the
+        # helpers below, which import jax)
+        from cdfo_tpu.parallel import initialize_distributed
+        host_id, num_hosts = initialize_distributed()
     from cdfo_tpu.utils import apply_platform_env, enable_compilation_cache
     apply_platform_env()
     enable_compilation_cache()
@@ -104,7 +114,8 @@ def main():
     train_loop(model_cfg, data_cfg, train_cfg, data_root,
                steps_per_epoch=spe,
                cache_path=args.cache or None,
-               eval_fn=eval_fn)
+               eval_fn=eval_fn,
+               host_id=host_id, num_hosts=num_hosts)
 
 
 if __name__ == "__main__":
