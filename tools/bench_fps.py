@@ -49,7 +49,8 @@ def main():
     model = CVSRV8(ModelConfig(mask_mode="expected", compute_dtype=dt,
                                fused_trunk=args.fused,
                                fused_embed=args.fused,
-                               fused_align=args.fused))
+                               fused_align=args.fused,
+                               fused_egla=args.fused))
 
     results = {}
     for name, (h, w) in GEOMETRIES.items():
