@@ -6,7 +6,11 @@ def _lazy(name):
     def build(cfg=None, **kw):
         from . import cvsr_variants as v
 
-        cfg = cfg or ModelConfig(name=name)
+        if cfg is None:
+            # SIDECVSR's reference ctor defaults to SCGs=4
+            # (`SIDECVSR_our.py:4090`); V7/V9 hard-code 7 (`:4233,5036`)
+            cfg = ModelConfig(name=name,
+                              scn_groups=4 if name == "sidecvsr" else 7)
         return {"cvsr_v7": v.CVSRV7, "cvsr_v9": v.CVSRV9,
                 "sidecvsr": v.SIDECVSRModel}[name](cfg, **kw)
 

@@ -45,6 +45,9 @@ def main():
                    help="subset of sequence names (default: all 10)")
     p.add_argument("--tof", action="store_true")
     p.add_argument("--fps", action="store_true")
+    p.add_argument("--scan-trunk", action="store_true",
+                   help="scan-over-groups trunk (faster compile, same "
+                        "math); unrolled checkpoints adapt on load")
     args = p.parse_args()
     from cdfo_tpu.utils import apply_platform_env, enable_compilation_cache
     apply_platform_env()
@@ -62,7 +65,8 @@ def main():
     side_root = os.path.join(args.test_root, cfg, f"qp{qp}", f"sideInfo_QP{qp}")
     gt_root = os.path.join(args.test_root, "gt_Y")
 
-    model = CVSRV8(ModelConfig(mask_mode="expected"))
+    model = CVSRV8(ModelConfig(mask_mode="expected",
+                           scan_trunk=args.scan_trunk))
     params = None
     inf = None
     os.makedirs(os.path.dirname(args.log) or ".", exist_ok=True)
