@@ -221,3 +221,20 @@ def test_dcn_shim_matches_our_op(rng):
     np.testing.assert_allclose(np.asarray(ours),
                                ref.numpy().transpose(0, 2, 3, 1),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_scan_trunk_matches_reference(both_forwards):
+    """Converted torch checkpoint -> to_scan_trunk -> scan-trunk model
+    reproduces the reference forward exactly (the --scan-trunk eval path
+    end-to-end against torch, not merely against our unrolled trunk)."""
+    from cdfo_tpu.compat import to_scan_trunk
+
+    inp, (sr_t, _), _, _, params = both_forwards
+    scan_model = CVSRV8(ModelConfig(mask_mode="expected", scan_trunk=True))
+    sr_s, _ = jax.jit(scan_model.apply)(
+        to_scan_trunk(params),
+        *(jnp.asarray(inp[k]) for k in
+          ("lrs", "mvs0", "mvs1", "pms", "rms", "ufs")))
+    sr_ref = sr_t.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(sr_s), sr_ref,
+                               atol=2e-4, rtol=1e-3)
