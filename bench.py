@@ -81,6 +81,8 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 4),
         "runs": [round(r, 3) for r in runs],
+        "runs_completed": len(runs),
+        "deadline_hit": len(runs) < 3,
         "best": round(max(runs), 3),
     }))
 

@@ -270,11 +270,15 @@ def _read_pil_order(path: str) -> np.ndarray:
     behaviour bit-for-bit so scores stay comparable."""
     if cv2 is not None:
         img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
-        if img is None:
-            raise FileNotFoundError(path)
-        if img.ndim == 3:
-            img = img[..., 2::-1]  # BGR(A) -> RGB, PIL order
-        return img
+        # fast path only for the shapes where cv2 and PIL provably agree:
+        # 8-bit gray or 8-bit BGR. 16-bit and alpha PNGs fall through to
+        # PIL (cv2 returns uint16 / BGRA, which a channel flip alone does
+        # not reconcile with PIL's RGBA — ADVICE r4).
+        if img is not None and img.dtype == np.uint8 and (
+                img.ndim == 2 or (img.ndim == 3 and img.shape[2] == 3)):
+            if img.ndim == 3:
+                img = img[..., ::-1]  # BGR -> RGB, PIL order
+            return img
     from PIL import Image
     return np.array(Image.open(path))
 

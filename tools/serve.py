@@ -40,6 +40,9 @@ def main():
                    help="write SR PNGs here (with --lr-dir)")
     p.add_argument("--fp32", dest="bf16", action="store_false", default=True)
     args = p.parse_args()
+    if args.lr_dir and not args.side_dir:
+        p.error("--lr-dir requires --side-dir (the coding-priors tree; "
+                "JCT-VC grammar as tools/test_sr.py)")
 
     # env mutations MUST precede any jax import (tests/conftest.py:3 —
     # XLA flags are read at backend init): set the virtual-mesh flags

@@ -56,13 +56,16 @@ def parse_args():
 def main():
     args = parse_args()
     host_id, num_hosts = 0, 1
-    if args.distributed:
-        # must precede any backend-initialising jax call (incl. the
-        # helpers below, which import jax)
-        from cdfo_tpu.parallel import initialize_distributed
-        host_id, num_hosts = initialize_distributed()
+    # platform pinning must precede initialize_distributed(), which
+    # initialises the JAX backend (it calls jax.process_index()); env
+    # mutations after that point are silently ineffective (ADVICE r4)
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
     from cdfo_tpu.utils import apply_platform_env, enable_compilation_cache
     apply_platform_env()
+    if args.distributed:
+        from cdfo_tpu.parallel import initialize_distributed
+        host_id, num_hosts = initialize_distributed()
     enable_compilation_cache()
     if args.cpu:
         import jax
