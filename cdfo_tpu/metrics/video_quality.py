@@ -12,6 +12,20 @@ from .brisque import calculate_brisque
 from .niqe import calculate_niqe
 
 
+def default_nrqm_model() -> Optional[str]:
+    """NRQM/PI columns appear automatically when a fitted model exists:
+    either ``$CDFO_NRQM_MODEL`` or ``<package>/metrics/weights/
+    NRQM_model.mat`` (produce one with ``fit.fit_nrqm_forest`` +
+    ``fit.save_nrqm_model``; the official file is absent upstream too —
+    `metric/nrqm.py:1997`)."""
+    env = os.environ.get("CDFO_NRQM_MODEL")
+    if env and os.path.exists(env):
+        return env
+    local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "weights", "NRQM_model.mat")
+    return local if os.path.exists(local) else None
+
+
 def cal_sequence_noref(frames_dir: str, niqe_params: str,
                        brisque_weights: Optional[str] = None,
                        nrqm_params: Optional[str] = None,
@@ -22,6 +36,8 @@ def cal_sequence_noref(frames_dir: str, niqe_params: str,
     from ..data.io import read_gray
     from .nrqm import calculate_nrqm
 
+    if nrqm_params is None:
+        nrqm_params = default_nrqm_model()
     files = sorted(f for f in os.listdir(frames_dir) if f.endswith(".png"))
     if max_frames:
         files = files[:max_frames]

@@ -16,16 +16,21 @@ engine over a `jax.sharding.Mesh` the TPU-native way:
   H-sharding of the kernels, which would need 6-row halos at every
   conv boundary).
 * The recurrent ring buffers are REPLICATED; the only collective is ONE
-  ``all_gather`` of the k new frames' compensated features per step
-  (~100 MB/chip-pair at the headline geometry — a few ms over ICI,
-  amortised over k output frames).
+  ``all_gather`` of the k new frames' compensated features per step.
 * Semantics are EXACTLY the single-chip engine's: same ring contents,
   same per-frame math, bit-equal outputs in fp32
-  (tests/test_sharded_serving.py pins this on the 8-device CPU mesh).
+  (tests/test_sharded_serving.py pins this on the 8-device CPU mesh,
+  including non-multiple-of-k and shorter-than-k sequence tails).
 
-Projected headline-geometry throughput (measured single-chip step time,
-ICI all-gather estimated at <10% of step): ~n_chips x single-chip fps,
-i.e. a v5e-4 serves 1080p x4 at ~35+ fps with k_per_device=4.
+Derived headline-geometry projection (full arithmetic in BENCH_NOTES.md
+"Sharded serving: derived ICI model"): the gathered payload is exactly
+103.4 MB per new frame (l1 16.71 + quad-packed feature 69.96 + pred
+prior 16.71, bf16 at 272x480 nf=64), so a bidirectional-ring all-gather
+on v5e ICI (2 x 45 GB/s per-link one-way) costs
+(n-1) * k_per_device * 1.15 ms per step against a measured 399 ms
+single-chip step at k_per_device=4 — 3.5% of the step at n=4, giving
+16 / 0.413 s = 38.7 fps (>30 at v5e-4; 36.3 fps even if ICI lands at a
+third of nominal). The projection assumes no comm/compute overlap.
 """
 from __future__ import annotations
 

@@ -13,11 +13,13 @@ from cdfo_tpu.parallel.mesh import make_mesh
 from cdfo_tpu.parallel.serving import ShardedServingEngine
 
 
-@pytest.mark.parametrize("fused", [False, True])
-def test_sharded_serving_matches_single_chip(fused):
+@pytest.mark.parametrize("fused,t", [(False, 10), (True, 10), (False, 5)])
+def test_sharded_serving_matches_single_chip(fused, t):
+    """t=10 exercises the non-multiple-of-k tail (k=8 -> steps [0, 8));
+    t=5 < k exercises a sequence SHORTER than one sharded step."""
     if len(jax.devices()) < 4:
         pytest.skip("needs the 8-device CPU mesh (conftest)")
-    t, h, w = 10, 16, 24
+    h, w = 16, 24
     data = synthetic_sequence(t=t, h=h, w=w, seed=5)
     cfg = ModelConfig(mask_mode="expected", scn_groups=1,
                       fused_trunk=fused, fused_embed=fused,
