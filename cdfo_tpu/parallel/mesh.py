@@ -31,9 +31,20 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     ``CVCPDataset(host_id=..., num_hosts=...)`` for per-host input
     sharding (the ``DistSampler`` replacement).
     """
+    import os
+
     import jax
 
     if not jax.distributed.is_initialized():
+        if (num_processes or 0) > 1 and "cpu" in os.environ.get(
+                "JAX_PLATFORMS", ""):
+            # CPU fleets: cross-process collectives need the Gloo backend
+            # (proved end-to-end by tests/test_multiprocess_dist.py)
+            try:
+                jax.config.update("jax_cpu_collectives_implementation",
+                                  "gloo")
+            except Exception:  # pragma: no cover - older jaxlib
+                pass
         # must precede ANY backend-initialising jax call (jax.devices etc.)
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,

