@@ -35,11 +35,16 @@ def main():
     from cdfo_tpu.infer.engine import BatchedStreamingEngine
     from cdfo_tpu.infer.pipeline import synthetic_sequence
 
-    cfg = ModelConfig(mask_mode="expected",
-                      compute_dtype=jax.numpy.bfloat16,
-                      fused_trunk=True, fused_embed=True, fused_align=True,
-                      fused_egla=True)
-    model = CVSRV8(cfg)
+    # Headline config: int8-turbo trunk (quantize-in-epilogue Pallas
+    # kernel, `ops/fused_block2_q.py`). Accuracy vs the exact bf16 path
+    # is -0.007 dB end-to-end on a trained model (tools/int8_delta.py,
+    # BENCH_NOTES "int8 turbo" section) — 7x inside the 0.05 dB parity
+    # budget. The exact-path fps is measured and disclosed alongside.
+    kw = dict(mask_mode="expected", compute_dtype=jax.numpy.bfloat16,
+              fused_trunk=True, fused_embed=True, fused_align=True,
+              fused_egla=True)
+    model = CVSRV8(ModelConfig(trunk_int8=True, **kw))
+    model_exact = CVSRV8(ModelConfig(**kw))
 
     h, w, t, k = 272, 480, 100, 4
     data = synthetic_sequence(t=t, h=h, w=w, seed=0)
@@ -50,11 +55,13 @@ def main():
                                  dummy_mv, dummy, dummy, dummy)
 
     eng = BatchedStreamingEngine(model, params, k=k)
+    eng_exact = BatchedStreamingEngine(model_exact, params, k=k)
     # warm-up on a short prefix compiles both graphs
     import time
     t_start = time.monotonic()
     warm = synthetic_sequence(t=2 * k, h=h, w=w, seed=1)
     eng.run_sequence(warm)
+    eng_exact.run_sequence(warm)
     # three timed runs; the HEADLINE is the median, comparable to the
     # reference's single-pass measurement (run-to-run spread through the
     # axon tunnel is ~±15% for an identical program, so best-of would
@@ -66,25 +73,36 @@ def main():
     # driver rc=124 with zero output during the round-3 tunnel outage).
     import os
     deadline = float(os.environ.get("CDFO_BENCH_DEADLINE", "480"))
-    runs = []
+    runs, runs_exact = [], []
     for _ in range(3):
         frames, f = eng.run_sequence(data, collect_timing=True)
         runs.append(float(f))
         if time.monotonic() - t_start > deadline:
             break
     assert frames.shape == (t, 1080, 1920)  # 1088-row output cropped to 1080
+    for _ in range(3):
+        if time.monotonic() - t_start > deadline:
+            break
+        _, f = eng_exact.run_sequence(data, collect_timing=True)
+        runs_exact.append(float(f))
     fps = sorted(runs)[(len(runs) - 1) // 2]  # lower median: no optimism
 
-    print(json.dumps({
+    out = {
         "metric": "1080p_x4_streaming_fps",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 4),
+        "trunk": "int8-turbo (-0.007 dB end-to-end, tools/int8_delta.py)",
         "runs": [round(r, 3) for r in runs],
         "runs_completed": len(runs),
         "deadline_hit": len(runs) < 3,
         "best": round(max(runs), 3),
-    }))
+    }
+    if runs_exact:
+        out["exact_fps"] = round(
+            sorted(runs_exact)[(len(runs_exact) - 1) // 2], 3)
+        out["exact_runs"] = [round(r, 3) for r in runs_exact]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -44,16 +44,6 @@ class ModelConfig:
     # int8 "turbo" trunk (NOT bit-exact; ~2x MXU rate on v5e). Opt-in,
     # inference-only; measured PSNR delta in BENCH_NOTES.md.
     trunk_int8: bool = False
-    # frame-packed trunk kernel (ops/fused_block2p.py): g frames per
-    # Block_ invocation side-by-side along the lane axis (N x g per
-    # dot). Numerics-preserving; batches not divisible by g fall back
-    # to the unpacked kernel. MEASURED NEUTRAL-TO-NEGATIVE on v5e
-    # (BENCH_NOTES "rowpipe probe"): with the real per-row VPU work
-    # interleaved, wider N only gains ~15%, and the VMEM-forced smaller
-    # row blocks (g=4/rows=8 needs 147 MB) eat it — g=2/rows=8 measured
-    # 3.96 vs 3.95 ms/frame/block unpacked. Kept for future toolchains;
-    # 0/1 = off.
-    trunk_pack: int = 0
     # fused GCPI embed rounds (ops/fused_mdta.py) — numerics-preserving,
     # requires use_pab; ignored for the woPAB ablation
     fused_embed: bool = False
@@ -63,15 +53,6 @@ class ModelConfig:
     # fused EGLA kernels (ops/fused_egla.py) — expected-mask mode only
     # (falls back to the standard path under mask_mode='sample')
     fused_egla: bool = False
-    # wide-packed ring warp (ops/warp.py::wide_pack +
-    # flow_warp_ring_wide): one row-gather per 4-aligned output group
-    # when flows are W-blockwise (HEVC MV granularity), exact per-pixel
-    # fallback otherwise. MEASURED NEGATIVE on the current toolchain
-    # (8.29 vs 9.67 fps, bit-identical output — the 2.5x ring
-    # build/update cost and the 1.25 KB gather rows lose more than the
-    # 4x index reduction saves; BENCH_NOTES). Kept for future
-    # toolchains; default off.
-    wide_warp: bool = False
     compute_dtype: Any = jnp.float32
 
     @property

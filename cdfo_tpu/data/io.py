@@ -91,11 +91,35 @@ def load_eval_sequence(lr_dir: str, side_dir: str, max_frames: Optional[int] = N
 
 def make_synthetic_cvcp_tree(root: str, num_seqs: int = 2, frames: int = 32,
                              h: int = 64, w: int = 96, qp: int = 37,
-                             cfg: str = "LD", seed: int = 0) -> list[str]:
+                             cfg: str = "LD", seed: int = 0,
+                             structured: bool = False) -> list[str]:
     """Materialise a miniature CVCP-layout tree (the `*_tmp.csv` smoke-test
-    trick from `metric/misc/`, but self-contained) for loader tests."""
+    trick from `metric/misc/`, but self-contained) for loader tests.
+
+    ``structured=True`` writes LEARNABLE content for convergence soaks
+    instead of iid noise: per-sequence static textured HR (smoothed noise
+    + oriented sinusoids), LR = MATLAB-bicubic 1/4 downscale + per-frame
+    sensor noise, priors derived from the content (unfiltered = blurred
+    LR, residual = |LR - blur|); MVs are zero (static content), so a
+    model that fuses the 7-frame window and learns the texture statistics
+    beats bicubic clearly — pure-noise trees are unlearnable by design.
+    """
     r = np.random.RandomState(seed)
     names = []
+
+    def structured_seq(s):
+        from scipy.ndimage import gaussian_filter
+
+        hr4 = gaussian_filter(r.rand(4 * h, 4 * w) * 255.0, 6.0)
+        yy, xx = np.mgrid[0:4 * h, 0:4 * w]
+        for _ in range(4):
+            fy, fx = r.uniform(0.02, 0.2, 2)
+            ph = r.uniform(0, 6.28)
+            hr4 = hr4 + r.uniform(10, 30) * np.sin(fy * yy + fx * xx + ph)
+        hr4 = np.clip((hr4 - hr4.min()) / np.ptp(hr4) * 235 + 10, 0, 255)
+        from ..metrics.matlab import imresize
+        lr_clean = np.clip(imresize(hr4 / 255.0, 0.25), 0, 1) * 255.0
+        return hr4, lr_clean
     for s in range(num_seqs):
         seq = f"synth{s:03d}_{w}x{h}"
         names.append(seq)
@@ -111,26 +135,46 @@ def make_synthetic_cvcp_tree(root: str, num_seqs: int = 2, frames: int = 32,
                   os.path.join(pri, "Partition_Map"),
                   os.path.join(pri, "Prediction_Signal"), unf]:
             os.makedirs(d, exist_ok=True)
+        if structured:
+            hr4_s, lr_clean_s = structured_seq(s)
         for f in range(frames):
             idx = "%05d" % f
-            lr = r.randint(0, 255, (h, w), dtype=np.uint8)
+            if structured:
+                from scipy.ndimage import gaussian_filter
+                hr = hr4_s.astype(np.uint8)
+                lr = np.clip(lr_clean_s + r.randn(h, w) * 4.0,
+                             0, 255).astype(np.uint8)
+                blur = gaussian_filter(lr.astype(np.float32), 1.0)
+                uf_img = np.clip(blur, 0, 255).astype(np.uint8)
+                res = np.clip(lr.astype(np.int16) - blur.astype(np.int16),
+                              -30, 30)
+                pm_img = (((np.arange(h)[:, None] // 8
+                            + np.arange(w)[None, :] // 8) % 2)
+                          .astype(np.uint8) * 255)
+                pred = uf_img
+                mv = np.zeros((h, w, 3), np.int16)
+                mv[..., 2] = -1
+            else:
+                lr = r.randint(0, 255, (h, w), dtype=np.uint8)
+                hr = r.randint(0, 255, (h * 4, w * 4), dtype=np.uint8)
+                mv = np.zeros((h, w, 3), np.int16)
+                mv[..., 0] = r.randint(-32, 32, (h, w))
+                mv[..., 1] = r.randint(-32, 32, (h, w))
+                mv[..., 2] = -1
+                res = r.randint(-30, 30, (h, w)).astype(np.int16)
+                pm_img = (r.rand(h, w) > 0.5).astype(np.uint8) * 255
+                pred = r.randint(0, 255, (h, w), dtype=np.uint8)
+                uf_img = r.randint(0, 255, (h, w), dtype=np.uint8)
             write_gray(os.path.join(lr_dir, idx + ".png"), lr)
-            hr = r.randint(0, 255, (h * 4, w * 4), dtype=np.uint8)
             write_gray(os.path.join(hr_dir, idx + ".png"), hr)
-            mv = np.zeros((h, w, 3), np.int16)
-            mv[..., 0] = r.randint(-32, 32, (h, w))
-            mv[..., 1] = r.randint(-32, 32, (h, w))
-            mv[..., 2] = -1
             np.save(os.path.join(pri, "MV_l0", idx + "_mvl0.npy"), mv)
             np.save(os.path.join(pri, "MV_l1", idx + "_mvl1.npy"), mv)
-            np.save(os.path.join(pri, "Residue", idx + "_res.npy"),
-                    r.randint(-30, 30, (h, w)).astype(np.int16))
+            np.save(os.path.join(pri, "Residue", idx + "_res.npy"), res)
             write_gray(os.path.join(pri, "Partition_Map", idx + "_M_mask.png"),
-                       (r.rand(h, w) > 0.5).astype(np.uint8) * 255)
+                       pm_img)
             write_gray(os.path.join(pri, "Prediction_Signal", idx + "_pred.png"),
-                       r.randint(0, 255, (h, w), dtype=np.uint8))
-            write_gray(os.path.join(unf, idx + "_unflt.png"),
-                       r.randint(0, 255, (h, w), dtype=np.uint8))
+                       pred)
+            write_gray(os.path.join(unf, idx + "_unflt.png"), uf_img)
     csv_path = os.path.join(root, "sequences_list.csv")
     with open(csv_path, "w") as f:
         f.write("name\n")

@@ -178,7 +178,6 @@ class CVSRV8(nn.Module):
             from .trunk_fast import SCNetFast
             self.recon_trunk = SCNetFast(cfg.nf, cfg.scn_groups, dtype=dt,
                                          use_int8=cfg.trunk_int8,
-                                         pack=cfg.trunk_pack,
                                          name="recon_trunk")
         elif cfg.scan_trunk:
             from .trunk import SCNetSScan
@@ -309,7 +308,7 @@ class CVSRV8(nn.Module):
         feature, built ONCE per frame instead of per window membership —
         and ufs_prior (M, H, W, nf; zeros when use_pd=False)).
         """
-        from ..ops.warp import quad_pack, wide_pack
+        from ..ops.warp import quad_pack
 
         cfg = self.cfg
         dt = cfg.compute_dtype
@@ -319,8 +318,7 @@ class CVSRV8(nn.Module):
             ufs_p = self.conv_expand_ufs(ufs.astype(dt))
         else:
             ufs_p = jnp.zeros_like(l1)
-        pack = wide_pack if cfg.wide_warp else quad_pack
-        return l1, pack(fea_i), ufs_p
+        return l1, quad_pack(fea_i), ufs_p
 
     def align_reconstruct(self, center_l1, center_lr, quad_ring, nbr_ufs_p,
                           nbr_mv, nbr_idx):
@@ -334,7 +332,7 @@ class CVSRV8(nn.Module):
         Returns SR (k, sH, sW, 1). The neighbour warp gathers STRAIGHT from
         the ring (frame index composed into the pixel gather).
         """
-        from ..ops.warp import flow_warp_ring, flow_warp_ring_wide
+        from ..ops.warp import flow_warp_ring
 
         cfg = self.cfg
         dt = cfg.compute_dtype
@@ -344,8 +342,7 @@ class CVSRV8(nn.Module):
         ufs_p = (nbr_ufs_p.astype(dt).reshape(k * nm1, h, w, cfg.nf)
                  if cfg.use_pd else None)
         mv = nbr_mv.astype(dt).reshape(k * nm1, h, w, 2)
-        ring_warp = flow_warp_ring_wide if cfg.wide_warp else flow_warp_ring
-        warped = (ring_warp(quad_ring.astype(dt),
+        warped = (flow_warp_ring(quad_ring.astype(dt),
                             nbr_idx.reshape(k * nm1), mv)
                   if cfg.use_mv else None)
         if cfg.fused_trunk:

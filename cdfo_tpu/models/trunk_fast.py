@@ -140,7 +140,6 @@ class _BlockFast(nn.Module):
     nf: int = 64
     dtype: Dtype = jnp.float32
     use_int8: bool = False
-    pack: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -151,11 +150,6 @@ class _BlockFast(nn.Module):
         ku, bu = _ConvParams(1, 1, nf, nf, name="up_0")()
 
         if not self.use_int8:
-            if self.pack and self.pack > 1 and x.shape[0] % self.pack == 0:
-                # frame-packed kernel: g x wider dots (fused_block2p)
-                from ..ops.fused_vjp import block_packed_fused
-                return block_packed_fused(self.pack, x, k0, b0, k2, b2,
-                                          kd, bd, ku, bu)
             # differentiable wrapper (fused forward + exact recompute VJP)
             from ..ops.fused_vjp import block_fused
             return block_fused(x, k0, b0, k2, b2, kd, bd, ku, bu)
@@ -182,7 +176,6 @@ class _GroupFast(nn.Module):
     dtype: Dtype = jnp.float32
 
     use_int8: bool = False
-    pack: int = 0
 
     @nn.compact
     def __call__(self, t):
@@ -191,7 +184,7 @@ class _GroupFast(nn.Module):
         g = t
         for j in range(3):
             g = _BlockFast(self.nf, dtype=self.dtype,
-                           use_int8=self.use_int8, pack=self.pack,
+                           use_int8=self.use_int8,
                            name=f"body_{j}")(g)
         kg, bg = _ConvParams(3, 3, self.nf, self.nf,
                              scaled_init=False, name="conv")()
@@ -205,7 +198,6 @@ class SCNetFast(nn.Module):
     num_groups: int = 7
     dtype: Dtype = jnp.float32
     use_int8: bool = False
-    pack: int = 0
 
     @nn.compact
     def __call__(self, x_nhwc, out_layout: str = "nhwc",
@@ -218,7 +210,7 @@ class SCNetFast(nn.Module):
         r = t
         for i in range(self.num_groups):
             r = _GroupFast(self.nf, dt, use_int8=self.use_int8,
-                           pack=self.pack, name=f"body_{i}")(r)
+                           name=f"body_{i}")(r)
         out = t + r
         if out_layout == "hcw":
             return out

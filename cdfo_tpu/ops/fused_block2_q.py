@@ -5,10 +5,20 @@ at 1x and the folded 2x branch — ~94% of the block's FLOPs) run as
 int8 x int8 -> int32 MXU dots (v5e int8 peak is 2x bf16):
 
 * weights are quantized per-output-channel, symmetric (host-side);
-* activations (the u upsample planes, the masked 1x input, the lrelu'd
-  conv1 outputs) are quantized DYNAMICALLY per step with one scale per
-  tensor — the step amax is carried through the row loops (the 9*cin /
-  3*cmid contraction spans 3 rows, so scales must be row-invariant);
+* activations are quantized **in the producing loop's epilogue** — there
+  are NO standalone quantize passes and NO bf16 staging planes for the
+  int8 operands (round 4 measured those passes eating most of the
+  theoretical 2x; BENCH_NOTES "int8 turbo" section):
+  - the ``u`` upsample planes are convex blends of ``z`` rows, so
+    ``amax(u) <= amax(z)`` — the z amax (free in the prep loop) is an
+    exact-enough per-step scale and ``up_pair`` stores int8 directly;
+  - the masked 1x input ``xm`` gets a VPU-only amax pre-pass (no dots),
+    then ``prep_row`` quantizes inline;
+  - the lrelu'd conv1 outputs (``y1``/``y2``) use a LAGGED running
+    scale: step ``i`` quantizes with ``1.25 * max`` of the amaxes
+    measured in steps ``< i`` (values above it clip), bootstrapped at
+    step 0 from the analytic bound ``maxrowsum(|W1|) * amax(input) +
+    max|b1|``. The dequant always uses the scale that quantized.
 * dequantisation happens once per output row: i32 windowed sums are
   scaled by (s_act * s_w[channel]) before bias/activation.
 
@@ -39,11 +49,17 @@ def quant_weight(w):
     return q, s
 
 
+# headroom multiplier on the lagged y1/y2 scales: activations in step i
+# may exceed the running amax of steps < i; 1.25x turns modest growth
+# into fine quantization instead of clipping (large growth still clips)
+LAG_MARGIN = 1.25
+
+
 def _kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
             w2f_ref, s2f_ref, ku_ref, bu_ref, kd_ref, bd_ref,
-            p_ref, q_ref, out_ref,
-            x_t, z_t, ue_t, uo_t, ueq_t, uoq_t, ye_t, yo_t, yeq_t, yoq_t,
-            y1_t, y1q_t, xm_t, xmq_t, d_t, y5_t, e_t, o_t,
+            p_ref, q_ref, bnd_ref, out_ref,
+            x_t, z_t, ueq_t, uoq_t, yeq_t, yoq_t,
+            y1q_t, xmq_t, d_t, y5_t, e_t, o_t,
             in_sems, out_sems, *,
             rows, wt, cin, cmid, h, w, nsteps, unroll, out_dtype):
     bi = pl.program_id(0)
@@ -91,6 +107,9 @@ def _kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     bd = bd_ref[:]
     pmat = p_ref[:]
     qmat = q_ref[pl.ds(ci, 1)][0]
+    rs1 = bnd_ref[0, 0]                # maxrowsum |W1 dequantized|
+    b1max = bnd_ref[0, 1]              # max |b1|
+    rn1 = bnd_ref[0, 2]                # max row 2-norm of W1 dequantized
     # bf16 dequantised weights for the 0.5x branch (reuses the SAME
     # quantized values so only ONE weight layout ships)
     w1b = [(w1d[d].astype(f32) * s_w1).astype(jnp.bfloat16)
@@ -110,7 +129,8 @@ def _kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
 
     in_copy(0, 0).start()
 
-    def step(i, _):
+    def step(i, lag):
+        ay1_run, ay2_run = lag         # running y amaxes from steps < i
         slot = jax.lax.rem(i, 2)
         nxt = 1 - slot
         r0 = i * R
@@ -121,22 +141,53 @@ def _kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
 
         in_copy(i, slot).wait()
 
-        # ---- prep: masked x + z, carrying the xm amax -------------------
-        def prep_row(rr, amax):
+        # ---- xm amax/rms pre-pass (VPU only, no dots, no stores) --------
+        ncol_x = jnp.sum(colmask_x)
+
+        def xm_amax_row(rr, acc):
+            amax, ssq, cnt = acc
+            grow = r0 + rr - 2
+            rv = jnp.where((grow >= 0) & (grow < h), 1.0, 0.0).astype(f32)
+            xm = x_t[slot, pl.ds(rr + 4, 1), :, 4:wt + 8][0].astype(f32) \
+                * (rv * colmask_x)
+            return (jnp.maximum(amax, jnp.max(jnp.abs(xm))),
+                    ssq + jnp.sum(xm * xm), cnt + rv * ncol_x * cin)
+
+        xm_max, xm_ssq, xm_cnt = jax.lax.fori_loop(
+            0, R + 4, xm_amax_row, (f32(0), f32(0), f32(0)),
+            unroll=(R + 4) if unroll else 1)
+        xm_rms = jnp.sqrt(xm_ssq / jnp.maximum(xm_cnt, 1.0))
+        s_xm = jnp.maximum(xm_max, 1e-8) / 127.0
+        inv_xm = 1.0 / s_xm
+
+        # ---- prep: z (bf16) + inline-quantized xm; z amax carried -------
+        def prep_row(rr, acc):
+            amax, ssq = acc
             grow = r0 + rr - 2
             rv = jnp.where((grow >= 0) & (grow < h), 1.0, 0.0).astype(f32)
             xrow = x_t[slot, pl.ds(rr + 4, 1), :, 4:wt + 8][0]
             xm = xrow.astype(f32) * (rv * colmask_x)
-            xm_t[pl.ds(rr, 1)] = xm.astype(xm_t.dtype)[None]
+            xmq_t[pl.ds(rr, 1)] = jnp.clip(
+                jnp.round(xm * inv_xm), -127, 127).astype(jnp.int8)[None]
             zrow = (dot(kuT, x_t[slot, pl.ds(rr + 4, 1), :, 4:wt + 9][0])
-                    + bu).astype(z_t.dtype)
-            z_t[pl.ds(rr, 1), :, 1:wt + 6] = zrow[None]
-            return jnp.maximum(amax, jnp.max(jnp.abs(xm)))
+                    + bu)
+            z_t[pl.ds(rr, 1), :, 1:wt + 6] = zrow.astype(z_t.dtype)[None]
+            return (jnp.maximum(amax, jnp.max(jnp.abs(zrow))),
+                    ssq + jnp.sum(zrow * zrow))
 
-        xm_max = jax.lax.fori_loop(0, R + 4, prep_row, f32(0),
-                                   unroll=(R + 4) if unroll else 1)
+        z_max, z_ssq = jax.lax.fori_loop(
+            0, R + 4, prep_row, (f32(0), f32(0)),
+            unroll=(R + 4) if unroll else 1)
+        z_rms = jnp.sqrt(z_ssq / ((R + 4) * cin * (wt + 5)))
 
-        def up_pair(mq, amax):
+        # u rows are convex blends of z rows: amax(u) <= amax(z), and the
+        # bound is tight (>= 0.75 * amax(z) reaches the top bin). Using it
+        # as the u scale lets up_pair store int8 straight away.
+        s_u = jnp.maximum(z_max, 1e-8) / 127.0
+        inv_u = 1.0 / s_u
+
+        # ---- 2x upsample planes, quantized in the epilogue --------------
+        def up_pair(mq, c):
             m = r0 - 1 + mq
             zm1 = z_t[pl.ds(mq, 1)][0].astype(f32)
             zm = z_t[pl.ds(mq + 1, 1)][0].astype(f32)
@@ -145,55 +196,42 @@ def _kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
                               (1, 0.75 * zm + 0.25 * zp1)):
                 q = 2 * m + par
                 rv = jnp.where((q >= 0) & (q < 2 * h), 1.0, 0.0).astype(f32)
-                cm = rv * colmask_u
+                cm = (rv * colmask_u) * inv_u
                 uq = 2 * mq + par
-                ue = (0.25 * hrow[:, 0:wt + 4]
-                      + 0.75 * hrow[:, 1:wt + 5]) * cm
-                uo = (0.75 * hrow[:, 1:wt + 5]
-                      + 0.25 * hrow[:, 2:wt + 6]) * cm
-                ue_t[pl.ds(uq, 1)] = ue.astype(ue_t.dtype)[None]
-                uo_t[pl.ds(uq, 1)] = uo.astype(uo_t.dtype)[None]
-                # col 0 of the even plane is fed by the (intentionally)
-                # unwritten z col 0 — exclude it from the amax
-                amax = jnp.maximum(amax, jnp.maximum(
-                    jnp.max(jnp.abs(ue[:, 1:])), jnp.max(jnp.abs(uo))))
-            return amax
-
-        u_max = jax.lax.fori_loop(0, R + 2, up_pair, f32(0),
-                                  unroll=(R + 2) if unroll else 1)
-
-        # ---- quantize u planes + xm with the step scales ----------------
-        s_u = jnp.maximum(u_max, 1e-8) / 127.0
-        inv_u = 1.0 / s_u
-        s_xm = jnp.maximum(xm_max, 1e-8) / 127.0
-        inv_xm = 1.0 / s_xm
-
-        def quant_u(uq, c):
-            ueq_t[pl.ds(uq, 1)] = jnp.clip(jnp.round(
-                ue_t[pl.ds(uq, 1)][0].astype(f32) * inv_u), -127, 127
-            ).astype(jnp.int8)[None]
-            uoq_t[pl.ds(uq, 1)] = jnp.clip(jnp.round(
-                uo_t[pl.ds(uq, 1)][0].astype(f32) * inv_u), -127, 127
-            ).astype(jnp.int8)[None]
+                ueq_t[pl.ds(uq, 1)] = jnp.clip(jnp.round(
+                    (0.25 * hrow[:, 0:wt + 4] + 0.75 * hrow[:, 1:wt + 5])
+                    * cm), -127, 127).astype(jnp.int8)[None]
+                uoq_t[pl.ds(uq, 1)] = jnp.clip(jnp.round(
+                    (0.75 * hrow[:, 1:wt + 5] + 0.25 * hrow[:, 2:wt + 6])
+                    * cm), -127, 127).astype(jnp.int8)[None]
             return c
 
-        jax.lax.fori_loop(0, 2 * R + 4, quant_u, 0,
-                          unroll=(2 * R + 4) if unroll else 1)
+        jax.lax.fori_loop(0, R + 2, up_pair, 0,
+                          unroll=(R + 2) if unroll else 1)
 
-        def quant_xm(rr, c):
-            xmq_t[pl.ds(rr, 1)] = jnp.clip(jnp.round(
-                xm_t[pl.ds(rr, 1)][0].astype(f32) * inv_xm), -127, 127
-            ).astype(jnp.int8)[None]
-            return c
+        # lagged y scales: step 0 bootstraps from min(hard bound,
+        # statistical estimate) — hard: |y| <= maxrowsum(|W1|)*amax(in) +
+        # max|b1| (lrelu only shrinks); statistical: peak ~ 5 sigma with
+        # sigma <= maxrownorm2(W1)*rms(in) (values beyond it clip)
+        def boot(in_max, in_rms):
+            return jnp.minimum(rs1 * in_max, 5.0 * rn1 * in_rms) + b1max
 
-        jax.lax.fori_loop(0, R + 4, quant_xm, 0,
-                          unroll=(R + 4) if unroll else 1)
+        ay2_base = jnp.where(i == 0, boot(z_max, z_rms),
+                             LAG_MARGIN * ay2_run)
+        s_y2 = jnp.maximum(ay2_base, 1e-8) / 127.0
+        inv_y2 = 1.0 / s_y2
+        ay1_base = jnp.where(i == 0, boot(xm_max, xm_rms),
+                             LAG_MARGIN * ay1_run)
+        s_y1 = jnp.maximum(ay1_base, 1e-8) / 127.0
+        inv_y1 = 1.0 / s_y1
 
         # per-step dequant scale vectors
         sc1u = (s_w1 * s_u)            # (cmid, 1) for conv1-2x
         sc1x = (s_w1 * s_xm)           # conv1-1x
+        sc2 = s_w2 * s_y1
+        sc2f = s_w2f * s_y2
 
-        # ---- conv1 at 2x: int8 dots, i32 windowed sums, dequant ---------
+        # ---- conv1 at 2x: int8 dots, dequant, lrelu, requant ------------
         def y2_row(yq, amax):
             q = 2 * r0 - 1 + yq
             rv = jnp.where((q >= 0) & (q < 2 * h), 1.0, 0.0).astype(f32)
@@ -211,8 +249,10 @@ def _kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
                   ).astype(f32) * sc1u + b1
             ye = jnp.where(ye >= 0, ye, 0.1 * ye) * (rv * colmask_y)
             yo = jnp.where(yo >= 0, yo, 0.1 * yo) * (rv * colmask_y)
-            ye_t[pl.ds(yq, 1)] = ye.astype(ye_t.dtype)[None]
-            yo_t[pl.ds(yq, 1)] = yo.astype(yo_t.dtype)[None]
+            yeq_t[pl.ds(yq, 1)] = jnp.clip(
+                jnp.round(ye * inv_y2), -127, 127).astype(jnp.int8)[None]
+            yoq_t[pl.ds(yq, 1)] = jnp.clip(
+                jnp.round(yo * inv_y2), -127, 127).astype(jnp.int8)[None]
             return jnp.maximum(amax, jnp.maximum(
                 jnp.max(jnp.abs(ye)), jnp.max(jnp.abs(yo))))
 
@@ -229,39 +269,12 @@ def _kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
             y = (p0[:, 0:wt + 2] + p1[:, 1:wt + 3] + p2[:, 2:wt + 4]
                  ).astype(f32) * sc1x + b1
             y = jnp.where(y >= 0, y, 0.1 * y) * (rv * colmask_y)
-            y1_t[pl.ds(yq, 1)] = y.astype(y1_t.dtype)[None]
+            y1q_t[pl.ds(yq, 1)] = jnp.clip(
+                jnp.round(y * inv_y1), -127, 127).astype(jnp.int8)[None]
             return jnp.maximum(amax, jnp.max(jnp.abs(y)))
 
         y1_max = jax.lax.fori_loop(0, R + 2, y1_row, f32(0),
                                    unroll=(R + 2) if unroll else 1)
-
-        s_y2 = jnp.maximum(y2_max, 1e-8) / 127.0
-        inv_y2 = 1.0 / s_y2
-        s_y1 = jnp.maximum(y1_max, 1e-8) / 127.0
-        inv_y1 = 1.0 / s_y1
-        sc2 = s_w2 * s_y1
-        sc2f = s_w2f * s_y2
-
-        def quant_y2(yq, c):
-            yeq_t[pl.ds(yq, 1)] = jnp.clip(jnp.round(
-                ye_t[pl.ds(yq, 1)][0].astype(f32) * inv_y2), -127, 127
-            ).astype(jnp.int8)[None]
-            yoq_t[pl.ds(yq, 1)] = jnp.clip(jnp.round(
-                yo_t[pl.ds(yq, 1)][0].astype(f32) * inv_y2), -127, 127
-            ).astype(jnp.int8)[None]
-            return c
-
-        jax.lax.fori_loop(0, 2 * R + 2, quant_y2, 0,
-                          unroll=(2 * R + 2) if unroll else 1)
-
-        def quant_y1(yq, c):
-            y1q_t[pl.ds(yq, 1)] = jnp.clip(jnp.round(
-                y1_t[pl.ds(yq, 1)][0].astype(f32) * inv_y1), -127, 127
-            ).astype(jnp.int8)[None]
-            return c
-
-        jax.lax.fori_loop(0, R + 2, quant_y1, 0,
-                          unroll=(R + 2) if unroll else 1)
 
         # ---- 0.5x branch: unchanged bf16 (6% of FLOPs) ------------------
         def d_row(dj, c):
@@ -345,9 +358,9 @@ def _kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
 
         jax.lax.fori_loop(0, R, out_row, 0, unroll=R if unroll else 1)
         out_copy(i, slot).start()
-        return _
+        return (jnp.maximum(ay1_run, y1_max), jnp.maximum(ay2_run, y2_max))
 
-    jax.lax.fori_loop(0, nsteps, step, 0, unroll=False)
+    jax.lax.fori_loop(0, nsteps, step, (f32(0), f32(0)), unroll=False)
 
     last = nsteps - 1
     out_copy(last, jax.lax.rem(last, 2)).wait()
@@ -381,30 +394,32 @@ def scale_block_hcw_q(x_pad: jnp.ndarray,
     w1q, s1 = quant_weight(w1d)
     w2q, s2 = quant_weight(w2d)
     w2fq, s2f = quant_weight(w2f)
+    # analytic step-0 bootstrap bound pieces: maxrowsum of the dequantized
+    # |W1| and max|b1| (see the y-scale comment in the kernel)
+    w1f = w1q.astype(jnp.float32) * s1
+    rs1 = jnp.max(jnp.sum(jnp.abs(w1f), axis=1))
+    rn1 = jnp.sqrt(jnp.max(jnp.sum(w1f * w1f, axis=1)))
+    bnd = jnp.stack([rs1, jnp.max(jnp.abs(b1.astype(jnp.float32))), rn1]
+                    ).reshape(1, 3)
     pmat = jnp.asarray(_pair_matrix(wt))
     qall = jnp.asarray(_up_matrices(wt, img_w, ntiles))
     i8 = jnp.int8
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b, ntiles),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] +
-                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 14,
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 14 +
+                 [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((b, h, cin, wp), dt),
         scratch_shapes=[
             pltpu.VMEM((2, R + 12, cin, wt + 128), dt),     # x_t
             pltpu.VMEM((R + 4, cin, wt + 6), dt),           # z_t
-            pltpu.VMEM((2 * R + 4, cin, wt + 4), dt),       # ue_t
-            pltpu.VMEM((2 * R + 4, cin, wt + 4), dt),       # uo_t
             pltpu.VMEM((2 * R + 4, cin, wt + 4), i8),       # ueq_t
             pltpu.VMEM((2 * R + 4, cin, wt + 4), i8),       # uoq_t
-            pltpu.VMEM((2 * R + 2, cmid, wt + 2), dt),      # ye_t
-            pltpu.VMEM((2 * R + 2, cmid, wt + 2), dt),      # yo_t
             pltpu.VMEM((2 * R + 2, cmid, wt + 2), i8),      # yeq_t
             pltpu.VMEM((2 * R + 2, cmid, wt + 2), i8),      # yoq_t
-            pltpu.VMEM((R + 2, cmid, wt + 2), dt),          # y1_t
             pltpu.VMEM((R + 2, cmid, wt + 2), i8),          # y1q_t
-            pltpu.VMEM((R + 4, cin, wt + 4), dt),           # xm_t
             pltpu.VMEM((R + 4, cin, wt + 4), i8),           # xmq_t
             pltpu.VMEM((Rh + 6, cin, wd + 6), dt),          # d_t
             pltpu.VMEM((Rh + 4, cmid, wd + 4), dt),         # y5_t
@@ -418,4 +433,27 @@ def scale_block_hcw_q(x_pad: jnp.ndarray,
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(x_pad, w1q, s1, b1.astype(jnp.float32), w2q, s2,
-      b2.astype(jnp.float32), w2fq, s2f, ku.T, bu, kd.T, bd, pmat, qall)
+      b2.astype(jnp.float32), w2fq, s2f, ku.T, bu, kd.T, bd, pmat, qall,
+      bnd)
+    return out
+
+
+def fused_scale_block_q(x_nhwc: jnp.ndarray, w1_hwio, b1, w2_hwio, b2,
+                        kd_hwio, bd, ku_hwio, bu,
+                        *, rows: int = 16, wt: int = 512) -> jnp.ndarray:
+    """NHWC wrapper for the int8-turbo Block_ (mirror of
+    ``fused_block2.fused_scale_block``)."""
+    b, h, w, cin = x_nhwc.shape
+    x = jnp.transpose(x_nhwc, (0, 1, 3, 2))
+    wp = -(-w // wt) * wt
+    rpad = (-h) % rows
+    x = jnp.pad(x, ((0, 0), (6, 6), (0, 0), (6, 6)), mode="edge")
+    x = jnp.pad(x, ((0, 0), (0, rpad), (0, 0), (0, 116 + wp - w)))
+    out = scale_block_hcw_q(
+        x, dual_weights(w1_hwio), b1.reshape(-1, 1),
+        dual_weights(w2_hwio), b2.reshape(-1, 1),
+        fold_down_conv2(w2_hwio),
+        ku_hwio[0, 0], bu.reshape(-1, 1), kd_hwio[0, 0], bd.reshape(-1, 1),
+        img_h=h, img_w=w, rows=rows, wt=wt)
+    out = out[:, :h, :, :w]
+    return jnp.transpose(out, (0, 1, 3, 2))

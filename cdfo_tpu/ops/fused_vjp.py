@@ -110,53 +110,6 @@ def _block_bwd(res, g):
 block_fused.defvjp(_block_fwd, _block_bwd)
 
 
-def _block_packed_fwd_impl(g, x, k1, b1, k2, b2, kd, bd, ku, bu):
-    from .fused_block import dual_weights
-    from .fused_block2 import fold_down_conv2
-    from .fused_block2p import scale_block_hcw_packed
-    from ..models.trunk_fast import _pick_tiles
-
-    dt = x.dtype
-    _, h, _, w = x.shape
-    wt, wp = _pick_tiles(w)
-    # the packed planes are ~g x wider; the row block shrinks to fit VMEM
-    # (g=4, rows=8, wt=512 needs 147 MB on v5e — over the 128 MB budget)
-    rows = 4 if g >= 4 else 8
-    rpad = (-h) % rows
-    tp = jnp.pad(x, ((0, 0), (6, 6), (0, 0), (6, 6)), mode="edge")
-    tp = jnp.pad(tp, ((0, 0), (0, rpad), (0, 0), (0, 116 + wp - w)))
-    out = scale_block_hcw_packed(
-        tp, dual_weights(k1).astype(dt), b1.reshape(-1, 1).astype(dt),
-        dual_weights(k2).astype(dt), b2.reshape(-1, 1).astype(dt),
-        fold_down_conv2(k2).astype(dt),
-        ku[0, 0].astype(dt), bu.reshape(-1, 1).astype(dt),
-        kd[0, 0].astype(dt), bd.reshape(-1, 1).astype(dt),
-        img_h=h, img_w=w, g=g, rows=rows, wt=wt)
-    return out[:, :h, :, :w]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def block_packed_fused(g, x_hcw, k1, b1, k2, b2, kd, bd, ku, bu):
-    """Frame-packed fused Block_ forward (g frames per kernel invocation
-    along the lane axis, N x g per dot — see ops/fused_block2p.py) with the
-    same exact recompute backward as :func:`block_fused`. Requires
-    ``x_hcw.shape[0] % g == 0``."""
-    return _block_packed_fwd_impl(g, x_hcw, k1, b1, k2, b2, kd, bd, ku, bu)
-
-
-def _block_packed_fwd(g, x, k1, b1, k2, b2, kd, bd, ku, bu):
-    out = _block_packed_fwd_impl(g, x, k1, b1, k2, b2, kd, bd, ku, bu)
-    return out, (x, k1, b1, k2, b2, kd, bd, ku, bu)
-
-
-def _block_packed_bwd(g, res, grad):
-    _, vjp = jax.vjp(_block_twin, *res)
-    return vjp(grad)
-
-
-block_packed_fused.defvjp(_block_packed_fwd, _block_packed_bwd)
-
-
 # ---------------------------------------------------------------------------
 # SCGroup tail: 3x3 conv + residual skip
 # ---------------------------------------------------------------------------

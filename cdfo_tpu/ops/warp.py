@@ -264,88 +264,6 @@ def flow_warp_ring(quad_ring: jnp.ndarray, frame_idx: jnp.ndarray,
     return out.astype(quad_ring.dtype)
 
 
-WIDE_DX = 5  # dx taps 0..4: one row-gather serves a 4-aligned output group
-
-
-def wide_pack(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, H+2*QUAD_PAD, W+2*QUAD_PAD, 2*WIDE_DX*C).
-
-    W-direction WIDE pack: channel group (dy, dx) holds ``x[y+dy, x+dx]``
-    for dy in {0,1}, dx in {0..4} (dy-major). Superset of
-    :func:`quad_pack` built for :func:`flow_warp_ring_wide`: when the
-    flow is constant over W-aligned groups of 4 pixels (HEVC MV
-    granularity along W — H-blockiness is NOT required, unlike the
-    retired 4x4 tile path), the 4 outputs' bilinear taps all live in ONE
-    packed row, so the gather issues 4x fewer indices AND fewer total
-    bytes (783k x 1.25 KB vs 3.13M x 512 B at the headline geometry; the
-    XLA row-gather is index-bound — BENCH_NOTES).
-    """
-    _, h, w, _ = x.shape
-    qp = QUAD_PAD
-    xp = jnp.pad(x, ((0, 0), (qp, qp + 1), (qp, qp + WIDE_DX - 1), (0, 0)))
-    hp, wp = h + 2 * qp, w + 2 * qp
-    return jnp.concatenate(
-        [xp[:, dy:dy + hp, dx:dx + wp]
-         for dy in (0, 1) for dx in range(WIDE_DX)], axis=-1)
-
-
-def flow_warp_ring_wide(wide_ring: jnp.ndarray, frame_idx: jnp.ndarray,
-                        flow: jnp.ndarray) -> jnp.ndarray:
-    """Warp frames picked from a WIDE-packed ring (:func:`wide_pack`) —
-    same semantics as :func:`flow_warp_ring` / ``flow_warp(ring[i], f)``.
-
-    Fast path (W-blockwise flows, the coding-prior case): one gather per
-    4-aligned output group — the packed dx channels carry the four
-    pixels' taps. Exactness needs only ``floor(x + f) = x + floor(f)``
-    within a group (integer-shift identity, so W-constant flow suffices);
-    per-pixel fractional weights and the zeros-padding mask are computed
-    per pixel as always. A runtime ``lax.cond`` falls back to the exact
-    per-pixel gather (channels (dy, dx in {0,1}) of the same ring) for
-    arbitrary flows. Unlike the retired 4x4-tile ``lax.gather`` path this
-    uses the same single-row ``jnp.take`` construct as the shipping quad
-    gather, which the toolchain handles.
-    """
-    l, hp, wp, cw = wide_ring.shape
-    c = cw // (2 * WIDE_DX)
-    qp = QUAD_PAD
-    h, w = hp - 2 * qp, wp - 2 * qp
-    b = flow.shape[0]
-    x0i, y0i, wx1, wy1 = _quad_coords(flow, h, w)
-    flat = wide_ring.reshape(l * hp * wp, cw)
-    fr = frame_idx.reshape(b, 1, 1)
-
-    def gather_rows(py, px):
-        idx = fr * (hp * wp) + py * wp + px
-        return jnp.take(flat, idx.reshape(-1), axis=0)
-
-    def wide(_):
-        # blocks are fully valid, fully invalid (keep-masked), or valid
-        # with x0i[4J] >= -4 / <= w-1 — the clips below never move a
-        # start whose block has any valid pixel (QUAD_PAD = 4)
-        px = jnp.clip(x0i[:, :, ::4] + qp, 0, wp - 1)
-        py = jnp.clip(y0i[:, :, ::4] + qp, 0, hp - 1)
-        g = gather_rows(py, px).reshape(b, h, w // 4, 2, WIDE_DX, c)
-        return jnp.concatenate(
-            [g[:, :, :, dy, dx:dx + 4].reshape(b, h, w, c)
-             for dy in (0, 1) for dx in (0, 1)], axis=-1)
-
-    def pixel(_):
-        px = jnp.clip(x0i + qp, 0, wp - 1)
-        py = jnp.clip(y0i + qp, 0, hp - 1)
-        g = gather_rows(py, px).reshape(b, h, w, 2, WIDE_DX, c)
-        return jnp.concatenate(
-            [g[:, :, :, dy, dx] for dy in (0, 1) for dx in (0, 1)],
-            axis=-1)
-
-    if w % 4 == 0:
-        blocky = jnp.all(flow == jnp.repeat(flow[:, :, ::4], 4, axis=2))
-        q = jax.lax.cond(blocky, wide, pixel, None)
-    else:
-        q = pixel(None)
-    out = _quad_bilerp(q, x0i, y0i, wx1, wy1, h, w)
-    return out.astype(wide_ring.dtype)
-
-
 def flow_warp_quad(quad: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Warp a pre-packed quad (from :func:`quad_pack`) by pixel-unit flow
     (dx, dy). Identical result to ``flow_warp(x, flow)`` (bilinear,

@@ -48,18 +48,6 @@ def test_engine_fused_trunk_matches(setup):
     assert diff.max() <= 1, (diff.max(), (diff > 1).sum())
 
 
-def test_engine_wide_warp_matches(setup):
-    """wide_warp=True (W-wide-packed ring, one gather per 4-aligned
-    group on the synthetic 4x4-blockwise MVs) == per-window forward."""
-    model, params, data, ref_frames = setup
-    wide_model = CVSRV8(ModelConfig(scn_groups=2, mask_mode="expected",
-                                    fused_trunk=True, wide_warp=True))
-    eng = BatchedStreamingEngine(wide_model, params, k=4)
-    frames, _ = eng.run_sequence(data)
-    diff = np.abs(frames.astype(np.int32) - ref_frames.astype(np.int32))
-    assert diff.max() <= 1, (diff.max(), (diff > 1).sum())
-
-
 def test_engine_timing_counts_all_frames(setup):
     model, params, data, _ = setup
     eng = BatchedStreamingEngine(model, params, k=4)

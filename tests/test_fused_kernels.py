@@ -190,40 +190,3 @@ def test_resblock_pair_tail_parity():
     got = jnp.transpose(out[:, :h, :, :w], (0, 1, 3, 2))
     rel = float(jnp.max(jnp.abs(ref - got))) / float(jnp.max(jnp.abs(ref)))
     assert rel < 1e-5, rel
-
-
-@pytest.mark.parametrize("shape,g,rows,wt", [
-    ((4, 20, 30, 8), 4, 4, 128),
-    ((4, 16, 260, 8), 2, 8, 128),   # multi-tile W, partial packing
-    ((8, 12, 130, 8), 4, 4, 128),   # two packed groups
-])
-def test_fused_scale_block_packed_parity(shape, g, rows, wt):
-    from cdfo_tpu.ops.fused_block2p import fused_scale_block_packed
-
-    rng = np.random.RandomState(0)
-    b, h, w, c = shape
-    cm = 4 * c
-    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
-    w1 = jnp.asarray(rng.randn(3, 3, c, cm).astype(np.float32) * 0.1)
-    b1 = jnp.asarray(rng.randn(cm).astype(np.float32) * 0.1)
-    w2 = jnp.asarray(rng.randn(3, 3, cm, c).astype(np.float32) * 0.1)
-    b2 = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
-    kd = jnp.asarray(rng.randn(1, 1, c, c).astype(np.float32) * 0.3)
-    bd = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
-    ku = jnp.asarray(rng.randn(1, 1, c, c).astype(np.float32) * 0.3)
-    bu = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
-
-    def body(t):
-        return _conv(_lrelu(_conv(t, w1, b1, 1)), w2, b2, 1)
-
-    def down(t):
-        return ib(_conv(t, kd, bd, 0), scale_factor=0.5)
-
-    def up(t):
-        return ib(_conv(t, ku, bu, 0), scale_factor=2.0)
-
-    ref = x + body(x) + down(body(up(x))) + up(body(down(x)))
-    got = fused_scale_block_packed(x, w1, b1, w2, b2, kd, bd, ku, bu,
-                                   g=g, rows=rows, wt=wt)
-    rel = float(jnp.max(jnp.abs(ref - got))) / float(jnp.max(jnp.abs(ref)))
-    assert rel < 1e-5, rel

@@ -52,35 +52,6 @@ def test_fused_trunk_grads_match_xla_trunk():
                                rtol=2e-3, atol=2e-3)
 
 
-def test_packed_trunk_matches_unpacked_and_grads():
-    """SCNetFast(pack=g) output and gradients match the XLA trunk, and a
-    batch not divisible by g falls back to the unpacked kernel."""
-    rng = np.random.RandomState(3)
-    nf, h, w = 8, 12, 20
-    x = jnp.asarray(rng.randn(4, h, w, nf).astype(np.float32) * 0.5)
-
-    slow = SCNetS(nf=nf, num_groups=1)
-    packed = SCNetFast(nf=nf, num_groups=1, pack=2)
-    params = slow.init(jax.random.PRNGKey(0), x)
-
-    def loss_slow(p, x):
-        return jnp.sum(slow.apply(p, x) ** 2)
-
-    def loss_packed(p, x):
-        return jnp.sum(packed.apply(p, x) ** 2)
-
-    (v0, g0p) = jax.value_and_grad(loss_slow)(params, x)
-    (v1, g1p) = jax.value_and_grad(loss_packed)(params, x)
-    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-4)
-    _tree_close(g0p, g1p, 2e-3)
-
-    # odd batch -> silently uses the unpacked kernel, same result
-    x3 = x[:3]
-    np.testing.assert_allclose(np.asarray(packed.apply(params, x3)),
-                               np.asarray(slow.apply(params, x3)),
-                               rtol=1e-4, atol=1e-4)
-
-
 def test_head_fused_grads_match_twin():
     from cdfo_tpu.ops.fused_vjp import _head_twin, head_fused
 

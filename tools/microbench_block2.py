@@ -30,11 +30,8 @@ def main():
     p.add_argument("--wt", type=int, default=512)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--packed", type=int, default=0, metavar="G",
-                   help="use the g-frame lane-packed kernel (fused_block2p)")
-    p.add_argument("--unroll", default="all", choices=["all", "some", "none"],
-                   help="packed-kernel row-loop unrolling: all | "
-                        "some (small loops only) | none")
+    p.add_argument("--int8", action="store_true",
+                   help="use the int8-turbo kernel (fused_block2_q)")
     args = p.parse_args()
 
     from cdfo_tpu.utils import apply_platform_env, enable_compilation_cache
@@ -56,16 +53,13 @@ def main():
     ku = jnp.asarray(r.randn(1, 1, 64, 64) * 0.1, dt)
     bu = jnp.asarray(r.randn(64) * 0.05, dt)
 
-    if args.packed:
-        from cdfo_tpu.ops.fused_block2p import fused_scale_block_packed
-
-        unroll = {"all": "all", "some": True, "none": False}[args.unroll]
+    if args.int8:
+        from cdfo_tpu.ops.fused_block2_q import fused_scale_block_q
 
         @jax.jit
         def run(x):
-            return fused_scale_block_packed(
-                x, w1, b1, w2, b2, kd, bd, ku, bu,
-                g=args.packed, rows=args.rows, wt=args.wt, unroll=unroll)
+            return fused_scale_block_q(x, w1, b1, w2, b2, kd, bd, ku, bu,
+                                       rows=args.rows, wt=args.wt)
     else:
         @jax.jit
         def run(x):
@@ -96,7 +90,7 @@ def main():
         float(jnp.sum(out.astype(jnp.float32)))
         best = min(best, (time.perf_counter() - t0) / args.iters)
     tfs = gf * b / best / 1e3
-    print(f"rows={args.rows} wt={args.wt} b={b} g={args.packed}: {best*1e3:.2f} ms/call "
+    print(f"rows={args.rows} wt={args.wt} b={b} int8={args.int8}: {best*1e3:.2f} ms/call "
           f"({best*1e3/b:.2f} ms/frame)  {tfs:.1f} TF/s "
           f"({tfs/197*100:.0f}% MFU)")
 

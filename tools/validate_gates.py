@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_config(tag: str, egla: bool, tiled: int, wide: bool,
+def run_config(tag: str, egla: bool, tiled: int,
                t: int = 16) -> str:
     import jax
 
@@ -51,8 +51,7 @@ def run_config(tag: str, egla: bool, tiled: int, wide: bool,
     cfg = ModelConfig(mask_mode="expected",
                       compute_dtype=jax.numpy.bfloat16,
                       fused_trunk=True, fused_embed=True,
-                      fused_align=True, fused_egla=egla,
-                      wide_warp=wide)
+                      fused_align=True, fused_egla=egla)
     model = CVSRV8(cfg)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), dummy,
                                  dummy_mv, dummy_mv, dummy, dummy, dummy)
@@ -63,7 +62,7 @@ def run_config(tag: str, egla: bool, tiled: int, wide: bool,
     eng.run_sequence(warm)
     t0 = time.time()
     frames, fps = eng.run_sequence(data, collect_timing=True)
-    print(f"[{tag}] egla={egla} tiled={tiled} wide={wide} "
+    print(f"[{tag}] egla={egla} tiled={tiled} "
           f"fps={float(fps):.3f} "
           f"wall={time.time()-t0:.1f}s", flush=True)
     path = f"/tmp/gates_{tag}.npz"
@@ -91,14 +90,13 @@ def main():
     p.add_argument("--tag", default="shipped")
     p.add_argument("--egla", type=int, default=0)
     p.add_argument("--tiled", type=int, default=0)
-    p.add_argument("--wide", type=int, default=0)
     p.add_argument("--frames", type=int, default=16)
     p.add_argument("--compare", nargs=2, default=None,
                    help="two tags to diff (no TPU run)")
     args = p.parse_args()
     if args.compare:
         return compare(*args.compare)
-    run_config(args.tag, bool(args.egla), args.tiled, bool(args.wide),
+    run_config(args.tag, bool(args.egla), args.tiled,
                t=args.frames)
     return 0
 
