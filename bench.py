@@ -40,6 +40,10 @@ def main():
     # is -0.007 dB end-to-end on a trained model (tools/int8_delta.py,
     # BENCH_NOTES "int8 turbo" section) — 7x inside the 0.05 dB parity
     # budget. The exact-path fps is measured and disclosed alongside.
+    # NOTE: block_warp (ops/warp_block.py) measures 1.19x on the warp
+    # standalone but FAULTS the TPU worker inside the full engine
+    # program on the current toolchain (BENCH_NOTES round-5 warp
+    # section) — kept opt-in/off here until that is root-caused.
     kw = dict(mask_mode="expected", compute_dtype=jax.numpy.bfloat16,
               fused_trunk=True, fused_embed=True, fused_align=True,
               fused_egla=True)

@@ -53,6 +53,13 @@ class ModelConfig:
     # fused EGLA kernels (ops/fused_egla.py) — expected-mask mode only
     # (falls back to the standard path under mask_mode='sample')
     fused_egla: bool = False
+    # Pallas block-gather warp (ops/warp_block.py): one patch DMA per
+    # 4x4 flow block from an UNPACKED padded ring instead of the XLA
+    # per-pixel quad gather. Measured 11.3 vs 13.5 ms/frame at the
+    # headline geometry AND shrinks the ring 4x (18 vs 70 MB/frame of
+    # build/update traffic). Same semantics (bf16-ulp equivalent);
+    # non-blockwise flows fall back to an exact per-pixel path.
+    block_warp: bool = False
     compute_dtype: Any = jnp.float32
 
     @property

@@ -309,6 +309,7 @@ class CVSRV8(nn.Module):
         and ufs_prior (M, H, W, nf; zeros when use_pd=False)).
         """
         from ..ops.warp import quad_pack
+        from ..ops.warp_block import pad_ring_frame
 
         cfg = self.cfg
         dt = cfg.compute_dtype
@@ -318,7 +319,8 @@ class CVSRV8(nn.Module):
             ufs_p = self.conv_expand_ufs(ufs.astype(dt))
         else:
             ufs_p = jnp.zeros_like(l1)
-        return l1, quad_pack(fea_i), ufs_p
+        pack = pad_ring_frame if cfg.block_warp else quad_pack
+        return l1, pack(fea_i), ufs_p
 
     def align_reconstruct(self, center_l1, center_lr, quad_ring, nbr_ufs_p,
                           nbr_mv, nbr_idx):
@@ -333,6 +335,7 @@ class CVSRV8(nn.Module):
         the ring (frame index composed into the pixel gather).
         """
         from ..ops.warp import flow_warp_ring
+        from ..ops.warp_block import flow_warp_ring_block
 
         cfg = self.cfg
         dt = cfg.compute_dtype
@@ -342,7 +345,9 @@ class CVSRV8(nn.Module):
         ufs_p = (nbr_ufs_p.astype(dt).reshape(k * nm1, h, w, cfg.nf)
                  if cfg.use_pd else None)
         mv = nbr_mv.astype(dt).reshape(k * nm1, h, w, 2)
-        warped = (flow_warp_ring(quad_ring.astype(dt),
+        ring_warp = (flow_warp_ring_block if cfg.block_warp
+                     else flow_warp_ring)
+        warped = (ring_warp(quad_ring.astype(dt),
                             nbr_idx.reshape(k * nm1), mv)
                   if cfg.use_mv else None)
         if cfg.fused_trunk:

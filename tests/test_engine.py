@@ -48,6 +48,21 @@ def test_engine_fused_trunk_matches(setup):
     assert diff.max() <= 1, (diff.max(), (diff > 1).sum())
 
 
+def test_engine_block_warp_matches(setup):
+    """block_warp=True (Pallas patch-DMA warp from the unpacked padded
+    ring, `ops/warp_block.py`) == per-window forward; the synthetic MVs
+    are 4x4-blockwise so the kernel fast path is exercised, and the
+    engine's zero-padded MV rows route through the bottom-band pixel
+    path."""
+    model, params, data, ref_frames = setup
+    bw_model = CVSRV8(ModelConfig(scn_groups=2, mask_mode="expected",
+                                  block_warp=True))
+    eng = BatchedStreamingEngine(bw_model, params, k=4)
+    frames, _ = eng.run_sequence(data)
+    diff = np.abs(frames.astype(np.int32) - ref_frames.astype(np.int32))
+    assert diff.max() <= 1, (diff.max(), (diff > 1).sum())
+
+
 def test_engine_timing_counts_all_frames(setup):
     model, params, data, _ = setup
     eng = BatchedStreamingEngine(model, params, k=4)

@@ -10,11 +10,13 @@ gather and 16x fewer "indices". Whether that wins is purely a question
 of per-DMA overhead with many copies in flight, which this tool
 measures:
 
-  mode=patch : N independent (5, 5*C)-shaped strided copies (the
-               block-gather unit) from pseudo-random ring offsets
-  mode=run16 : N/16 copies of (5, 65*C) — a merged run of 16 blocks
+  mode=patch : N independent (8, 6*C)-shaped strided copies — the
+               smallest LEGAL block-gather unit (HBM DMA slices must
+               align to the (8, 128) tile, so the ideal (5, 5*C) patch
+               rounds up; the overshoot is real cost a kernel would pay)
+  mode=run16 : N/16 copies of (8, 66*C) — a merged run of 16 blocks
                sharing one integer motion vector (HEVC uniform regions)
-  mode=row   : N contiguous (1, 4*C) row segments (the 2 KB unit)
+  mode=row   : N contiguous (8, 4*C) segments (the 4 KB aligned unit)
   mode=big   : one contiguous copy of the same total bytes (BW ceiling)
 
 Timing discipline: REPS chained kernel calls with a data link (the
@@ -48,8 +50,10 @@ def _gather_kernel(starts_ref, ring_ref, out_ref, stage, sems, *,
     prefetched (y, x) starts, NSLOTS in flight; checksum one lane."""
 
     def get_dma(i, slot):
-        y = starts_ref[2 * i]
-        x = starts_ref[2 * i + 1]
+        # starts are host-guaranteed tile-aligned; the hints let Mosaic
+        # prove it ("Failed to prove a tile index is divisible" otherwise)
+        y = pl.multiple_of(starts_ref[2 * i], 8)
+        x = pl.multiple_of(starts_ref[2 * i + 1], 128)
         return pltpu.make_async_copy(
             ring_ref.at[pl.ds(y, ph), pl.ds(x, pw * c)],
             stage.at[slot], sems.at[slot])
@@ -60,7 +64,8 @@ def _gather_kernel(starts_ref, ring_ref, out_ref, stage, sems, *,
     def body(i, acc):
         slot = jax.lax.rem(i, NSLOTS)
         get_dma(i, slot).wait()
-        acc = acc + stage[slot, 0, 0]
+        # vector checksum (scalar VMEM reads do not lower on TPU)
+        acc = acc + stage[slot, 0:1, 0:128].astype(jnp.float32)
 
         @pl.when(i + NSLOTS < nblk)
         def _():
@@ -68,8 +73,9 @@ def _gather_kernel(starts_ref, ring_ref, out_ref, stage, sems, *,
 
         return acc
 
-    acc = jax.lax.fori_loop(0, nblk, body, jnp.float32(0))
-    out_ref[0, 0] = acc
+    acc = jax.lax.fori_loop(0, nblk, body,
+                            jnp.zeros((1, 128), jnp.float32))
+    out_ref[:] = acc
 
 
 def _big_kernel(starts_ref, ring_ref, out_ref, stage, sems, *, rows, c):
@@ -77,7 +83,7 @@ def _big_kernel(starts_ref, ring_ref, out_ref, stage, sems, *, rows, c):
         ring_ref.at[pl.ds(starts_ref[0], rows)], stage, sems)
     dma.start()
     dma.wait()
-    out_ref[0, 0] = stage[0, 0]
+    out_ref[:] = stage[0:1, 0:128].astype(jnp.float32)
 
 
 def main():
@@ -101,15 +107,16 @@ def main():
     ring = jnp.asarray(rng.randn(h + 8, (w + 8) * c).astype(np.float32),
                        jnp.bfloat16)
     def mk_starts(pw):
-        ys = rng.randint(0, h + 8 - 5, size=nblk).astype(np.int32)
-        xmax = max(1, (w + 8 - pw))
-        xs = (rng.randint(0, xmax // 4, size=nblk) * 4 * c).astype(np.int32)
+        # tile-aligned starts: 8-row and 128-lane (= 2-pixel) multiples
+        ys = (rng.randint(0, (h + 8 - 8) // 8, size=nblk) * 8).astype(np.int32)
+        xmax = max(1, (w + 8 - pw) // 2)
+        xs = (rng.randint(0, xmax, size=nblk) * 2 * c).astype(np.int32)
         return jnp.asarray(np.stack([ys, xs], 1).reshape(-1))
 
     def make(mode):
         if mode in ("patch", "row", "run16"):
-            ph, pw = {"patch": (5, 5), "row": (1, 4),
-                      "run16": (5, 65)}[mode]
+            ph, pw = {"patch": (8, 6), "row": (8, 4),
+                      "run16": (8, 66)}[mode]
             nb = nblk // 16 if mode == "run16" else nblk
             kern = functools.partial(_gather_kernel, nblk=nb, ph=ph,
                                      pw=pw, c=c, mode=mode)
@@ -129,14 +136,13 @@ def main():
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(1,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-                out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
                 scratch_shapes=scratch),
-            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
         )
 
-        @jax.jit
         def chain(reps_dummy, s0):
             # data-link: fold the previous checksum into the (unused tail
             # of the) starts so XLA cannot hoist/dedupe the calls
@@ -145,13 +151,13 @@ def main():
             for _ in range(int(reps_dummy)):
                 r = call(s, ring)[0, 0]
                 acc = acc + r
-                s = s.at[-1].add(jnp.int32(r) & 0)
+                s = s.at[-1].add(jnp.int32(r) - jnp.int32(r))
             return acc, s
 
         return chain, nbytes, nb
 
     for mode in args.modes.split(","):
-        starts = mk_starts({"patch": 5, "row": 4, "run16": 65}.get(mode, 5))
+        starts = mk_starts({"patch": 6, "row": 4, "run16": 66}.get(mode, 6))
         chain, nbytes, nb = make(mode)
         times = {}
         for reps in (args.reps, 2 * args.reps):
