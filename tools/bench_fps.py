@@ -33,6 +33,13 @@ def main():
     p.add_argument("--fp32", dest="bf16", action="store_false")
     p.add_argument("--no-fused-trunk", dest="fused", action="store_false",
                    default=True)
+    p.add_argument("--int8", action="store_true",
+                   help="int8-turbo trunk (the bench.py headline config)")
+    p.add_argument("--model", default="cvsr_v8",
+                   choices=["cvsr_v8", "cvsr_v7"],
+                   help="cvsr_v7 uses the plain streaming Inferencer "
+                        "(XLA path; the DCN-era model has no fused-"
+                        "kernel engine)")
     args = p.parse_args()
     from cdfo_tpu.utils import apply_platform_env, enable_compilation_cache
     apply_platform_env()
@@ -45,12 +52,20 @@ def main():
     from cdfo_tpu.infer.pipeline import synthetic_sequence
 
     dt = jax.numpy.bfloat16 if args.bf16 else jax.numpy.float32
-    # same kernel set as the headline bench.py
-    model = CVSRV8(ModelConfig(mask_mode="expected", compute_dtype=dt,
-                               fused_trunk=args.fused,
-                               fused_embed=args.fused,
-                               fused_align=args.fused,
-                               fused_egla=args.fused))
+    if args.model == "cvsr_v7":
+        from cdfo_tpu.infer.pipeline import Inferencer
+        from cdfo_tpu.models.cvsr_variants import CVSRV7
+
+        model = CVSRV7(ModelConfig(name="cvsr_v7", mask_mode="expected",
+                                   compute_dtype=dt))
+    else:
+        # same kernel set as the headline bench.py
+        model = CVSRV8(ModelConfig(mask_mode="expected", compute_dtype=dt,
+                                   fused_trunk=args.fused,
+                                   fused_embed=args.fused,
+                                   fused_align=args.fused,
+                                   fused_egla=args.fused,
+                                   trunk_int8=args.int8))
 
     results = {}
     for name, (h, w) in GEOMETRIES.items():
@@ -59,12 +74,16 @@ def main():
         dmv = np.zeros((1, 7, h, w, 2), np.float32)
         params = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dmv, dmv,
                                      dummy, dummy, dummy)
-        eng = BatchedStreamingEngine(model, params, k=args.k)
+        if args.model == "cvsr_v7":
+            eng = Inferencer(model, params)
+        else:
+            eng = BatchedStreamingEngine(model, params, k=args.k)
         eng.run_sequence(synthetic_sequence(t=2 * args.k, h=h, w=w, seed=1))
         _, fps = eng.run_sequence(data, collect_timing=True)
         results[name] = round(float(fps), 3)
         print(f"{name}: {fps:.3f} fps")
-    print(json.dumps({"metric": "fps_by_sequence", "value": results}))
+    print(json.dumps({"metric": "fps_by_sequence", "value": results,
+                      "model": args.model, "int8": bool(args.int8)}))
 
 
 if __name__ == "__main__":
